@@ -1,0 +1,192 @@
+"""Rotated-BEV box overlap / IoU, fully on device (jnp, jit-safe).
+
+TPU-native replacement for the reference CUDA extension `iou3d_nms_cuda`
+(`det3d/ops/iou3d_nms/src/iou3d_nms_kernel.cu:236-279`, CPU mirror
+`src/iou3d_cpu.cpp`). The CUDA code walks a Sutherland-Hodgman style polygon
+clip per thread with data-dependent branches; here the intersection area of
+two convex quads is computed with a fixed-size, branch-free formulation that
+vectorizes over all box pairs:
+
+  1. candidate vertices = corners of A inside B, corners of B inside A, and
+     all 16 edge-pair intersection points (24 fixed slots, validity-masked);
+  2. sort candidates by angle around the centroid of the valid set;
+  3. shoelace fan area over the sorted valid prefix.
+
+The intersection of two convex polygons is convex, so the angular sort plus
+fan triangulation is exact up to floating point.
+
+Box conventions mirror the reference wrappers
+(`det3d/ops/iou3d_nms/iou3d_nms_utils.py:31-35`): det3d boxes
+(x, y, z, w, l, h, yaw) are converted with ``to_pcdet`` — dims swapped and
+heading mapped to ``-yaw - pi/2`` — before overlap math, so results are
+comparable bit-for-bit in convention.
+"""
+
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def to_pcdet_bev(boxes):
+    """det3d (..., 7+) [x, y, z, w, l, h, ..., yaw] -> pcdet BEV (..., 5)
+    [x, y, dx, dy, heading]. Mirrors `iou3d_nms_utils.py:31-35`."""
+    return jnp.stack(
+        [
+            boxes[..., 0],
+            boxes[..., 1],
+            boxes[..., 4],
+            boxes[..., 3],
+            -boxes[..., -1] - jnp.pi / 2,
+        ],
+        axis=-1,
+    )
+
+
+def box_corners_bev(boxes):
+    """pcdet BEV boxes (..., 5) -> corners (..., 4, 2), CCW order."""
+    x, y, dx, dy, r = (boxes[..., i] for i in range(5))
+    cos_r = jnp.cos(r)
+    sin_r = jnp.sin(r)
+    # local corners, CCW: (+,+), (-,+), (-,-), (+,-)
+    lx = jnp.stack([dx, -dx, -dx, dx], axis=-1) * 0.5
+    ly = jnp.stack([dy, dy, -dy, -dy], axis=-1) * 0.5
+    cx = lx * cos_r[..., None] - ly * sin_r[..., None] + x[..., None]
+    cy = lx * sin_r[..., None] + ly * cos_r[..., None] + y[..., None]
+    return jnp.stack([cx, cy], axis=-1)
+
+
+def _points_in_convex_quad(pts, quad):
+    """pts (..., P, 2) inside CCW quad (..., 4, 2) -> bool (..., P)."""
+    v0 = quad  # (..., 4, 2)
+    v1 = jnp.roll(quad, -1, axis=-2)
+    edge = v1 - v0  # (..., 4, 2)
+    rel = pts[..., None, :, :] - v0[..., :, None, :]  # (..., 4, P, 2)
+    cross = edge[..., :, None, 0] * rel[..., 1] - edge[..., :, None, 1] * rel[..., 0]
+    return (cross >= -_EPS).all(axis=-2)
+
+
+def _segment_intersections(a_quad, b_quad):
+    """All 16 edge-pair intersection points between two quads.
+
+    Returns pts (..., 16, 2) and valid (..., 16).
+    """
+    a0 = a_quad[..., :, None, :]  # (..., 4, 1, 2)
+    a1 = jnp.roll(a_quad, -1, axis=-2)[..., :, None, :]
+    b0 = b_quad[..., None, :, :]  # (..., 1, 4, 2)
+    b1 = jnp.roll(b_quad, -1, axis=-2)[..., None, :, :]
+
+    da = a1 - a0
+    db = b1 - b0
+    # solve a0 + t*da = b0 + u*db
+    den = da[..., 0] * db[..., 1] - da[..., 1] * db[..., 0]
+    rel = b0 - a0
+    t_num = rel[..., 0] * db[..., 1] - rel[..., 1] * db[..., 0]
+    u_num = rel[..., 0] * da[..., 1] - rel[..., 1] * da[..., 0]
+    safe_den = jnp.where(jnp.abs(den) < _EPS, 1.0, den)
+    t = t_num / safe_den
+    u = u_num / safe_den
+    valid = (
+        (jnp.abs(den) >= _EPS)
+        & (t >= -_EPS) & (t <= 1 + _EPS)
+        & (u >= -_EPS) & (u <= 1 + _EPS)
+    )
+    pts = a0 + t[..., None] * da
+    shape = pts.shape[:-3] + (16, 2)
+    return pts.reshape(shape), valid.reshape(shape[:-1])
+
+
+def _convex_intersection_area(a_quad, b_quad):
+    """Exact intersection area of two convex quads; batched over leading dims."""
+    a_in_b = _points_in_convex_quad(a_quad, b_quad)  # (..., 4)
+    b_in_a = _points_in_convex_quad(b_quad, a_quad)  # (..., 4)
+    x_pts, x_valid = _segment_intersections(a_quad, b_quad)  # (..., 16, *)
+
+    pts = jnp.concatenate([a_quad, b_quad, x_pts], axis=-2)  # (..., 24, 2)
+    valid = jnp.concatenate([a_in_b, b_in_a, x_valid], axis=-1)  # (..., 24)
+
+    num_valid = valid.sum(axis=-1, keepdims=True)  # (..., 1)
+    vf = valid[..., None].astype(pts.dtype)
+    centroid = (pts * vf).sum(axis=-2, keepdims=True) / jnp.maximum(
+        num_valid[..., None], 1
+    )
+    ang = jnp.arctan2(pts[..., 1] - centroid[..., 1], pts[..., 0] - centroid[..., 0])
+    ang = jnp.where(valid, ang, jnp.inf)  # invalid sorted last
+    order = jnp.argsort(ang, axis=-1)
+    pts_sorted = jnp.take_along_axis(pts, order[..., None], axis=-2)
+    valid_sorted = jnp.take_along_axis(valid, order, axis=-1)
+
+    # fan triangulation from the first (valid) vertex over the sorted prefix
+    p0 = pts_sorted[..., 0:1, :]
+    d = pts_sorted - p0  # (..., 24, 2)
+    cross = d[..., :-1, 0] * d[..., 1:, 1] - d[..., :-1, 1] * d[..., 1:, 0]
+    tri_valid = valid_sorted[..., :-1] & valid_sorted[..., 1:]
+    area = 0.5 * jnp.abs((cross * tri_valid).sum(axis=-1))
+    return jnp.where(num_valid[..., 0] >= 3, area, 0.0)
+
+
+def rotated_overlap_bev(boxes_a, boxes_b):
+    """Pairwise rotated BEV overlap area (N, M); pcdet BEV (.., 5) inputs.
+
+    Equivalent of `boxes_overlap_kernel` (`iou3d_nms_kernel.cu`).
+    """
+    ca = box_corners_bev(boxes_a)[:, None]  # (N, 1, 4, 2)
+    cb = box_corners_bev(boxes_b)[None, :]  # (1, M, 4, 2)
+    ca, cb = jnp.broadcast_arrays(ca, cb)
+    return _convex_intersection_area(ca, cb)
+
+
+def rotated_iou_bev(boxes_a, boxes_b):
+    """Pairwise rotated BEV IoU (N, M); pcdet BEV inputs (`iou_bev`)."""
+    overlap = rotated_overlap_bev(boxes_a, boxes_b)
+    sa = (boxes_a[:, 2] * boxes_a[:, 3])[:, None]
+    sb = (boxes_b[:, 2] * boxes_b[:, 3])[None, :]
+    return overlap / jnp.maximum(sa + sb - overlap, _EPS)
+
+
+def boxes_aligned_overlap_bev(boxes_a, boxes_b):
+    """Row-aligned rotated BEV overlap (N,); pcdet BEV inputs."""
+    ca = box_corners_bev(boxes_a)
+    cb = box_corners_bev(boxes_b)
+    return _convex_intersection_area(ca, cb)
+
+
+def _height_overlap(za, ha, zb, hb):
+    top = jnp.minimum(za + ha / 2, zb + hb / 2)
+    bot = jnp.maximum(za - ha / 2, zb - hb / 2)
+    return jnp.maximum(top - bot, 0.0)
+
+
+def boxes_iou3d(boxes_a, boxes_b):
+    """Pairwise 3D IoU (N, M); det3d 7-dim boxes (x,y,z,w,l,h,yaw).
+
+    Mirrors `boxes_iou3d_gpu` (`iou3d_nms_utils.py:37-76`).
+    """
+    bev_a = to_pcdet_bev(boxes_a)
+    bev_b = to_pcdet_bev(boxes_b)
+    overlaps_bev = rotated_overlap_bev(bev_a, bev_b)
+    overlaps_h = _height_overlap(
+        boxes_a[:, 2][:, None], boxes_a[:, 5][:, None],
+        boxes_b[:, 2][None, :], boxes_b[:, 5][None, :],
+    )
+    overlaps_3d = overlaps_bev * overlaps_h
+    vol_a = (boxes_a[:, 3] * boxes_a[:, 4] * boxes_a[:, 5])[:, None]
+    vol_b = (boxes_b[:, 3] * boxes_b[:, 4] * boxes_b[:, 5])[None, :]
+    return overlaps_3d / jnp.maximum(vol_a + vol_b - overlaps_3d, 1e-6)
+
+
+def boxes_aligned_iou3d(boxes_a, boxes_b):
+    """Row-aligned 3D IoU (N,); det3d 7-dim boxes.
+
+    Mirrors `boxes_aligned_iou3d_gpu` (`iou3d_nms_utils.py:78-116`) — the IoU
+    target for the IoU-aware head (`models/losses/centernet_loss.py:86`).
+    """
+    bev_a = to_pcdet_bev(boxes_a)
+    bev_b = to_pcdet_bev(boxes_b)
+    overlaps_bev = boxes_aligned_overlap_bev(bev_a, bev_b)
+    overlaps_h = _height_overlap(
+        boxes_a[:, 2], boxes_a[:, 5], boxes_b[:, 2], boxes_b[:, 5]
+    )
+    overlaps_3d = overlaps_bev * overlaps_h
+    vol_a = boxes_a[:, 3] * boxes_a[:, 4] * boxes_a[:, 5]
+    vol_b = boxes_b[:, 3] * boxes_b[:, 4] * boxes_b[:, 5]
+    return overlaps_3d / jnp.maximum(vol_a + vol_b - overlaps_3d, 1e-6)

@@ -1,0 +1,94 @@
+"""On-device NMS (rotated greedy + circular), jit-safe with static shapes.
+
+Replaces the reference's CUDA greedy NMS (`iou3d_nms/src/iou3d_nms_kernel.cu:280-390`,
+driven from `core/bbox/box_torch_ops.py:296-359`) and the numba circle NMS
+(`core/utils/circle_nms_jit.py:5-28`). The CUDA version computes a 64-bit
+suppression bitmask blockwise and finalizes on host; here suppression is a
+sequential `lax.fori_loop` over score-sorted candidates with vector updates —
+no host sync, fixed K in / fixed `post_max_size` out (padded, validity-masked).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .iou3d import to_pcdet_bev, rotated_iou_bev
+
+
+def _greedy_suppress(iou, valid, thresh):
+    """Greedy suppression over score-descending boxes.
+
+    Args:
+      iou: (K, K) pairwise IoU, row/col in score order (desc).
+      valid: (K,) candidate validity (already score/range filtered).
+      thresh: scalar IoU threshold.
+    Returns:
+      keep: (K,) bool.
+    """
+    k = iou.shape[0]
+    idx = jnp.arange(k)
+
+    def body(i, suppressed):
+        alive = jnp.logical_not(suppressed[i]) & valid[i]
+        kill = alive & (iou[i] > thresh) & (idx > i)
+        return suppressed | kill
+
+    suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
+    return jnp.logical_not(suppressed) & valid
+
+
+def _select_topk_sorted(keep, post_max_size):
+    """First `post_max_size` kept slots (in existing order) -> (idx, mask)."""
+    k = keep.shape[0]
+    rank_key = jnp.where(keep, jnp.arange(k), k + jnp.arange(k))
+    order = jnp.argsort(rank_key)[:post_max_size]
+    return order, keep[order]
+
+
+def rotated_nms(
+    boxes,
+    scores,
+    valid,
+    nms_thresh,
+    post_max_size,
+):
+    """Greedy rotated-BEV NMS over score-sorted, fixed-size candidates.
+
+    Mirrors `rotate_nms_pcdet` (`core/bbox/box_torch_ops.py:296-322`) after
+    its pre-sort/pre-slice: callers pass boxes already sorted descending by
+    (rectified) score and truncated/padded to `nms_pre_max_size`.
+
+    Args:
+      boxes: (K, 7+) det3d boxes (x, y, z, w, l, h, [vx, vy,] yaw),
+        score-descending.
+      scores: (K,) matching scores (used only for output passthrough).
+      valid: (K,) bool — padding / below-threshold rows are False.
+      nms_thresh: BEV IoU threshold.
+      post_max_size: output size (static).
+
+    Returns:
+      (sel_idx, sel_mask): indices into the K candidates (post_max_size,)
+      and their validity mask.
+    """
+    bev = to_pcdet_bev(boxes)
+    iou = rotated_iou_bev(bev, bev)
+    keep = _greedy_suppress(iou, valid, nms_thresh)
+    return _select_topk_sorted(keep, post_max_size)
+
+
+def circle_nms(centers, valid, min_radius, post_max_size):
+    """Center-distance greedy suppression (`circle_nms_jit.py:5-28`).
+
+    Args:
+      centers: (K, 2) xy of score-descending candidates.
+      valid: (K,) bool.
+      min_radius: squared-distance threshold (the reference passes
+        `min_radius` directly as `thresh` compared against squared distance).
+      post_max_size: output size (static).
+    """
+    d2 = ((centers[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    # suppress j if dist^2 <= thresh
+    overlap = d2 <= min_radius
+    keep = _greedy_suppress(
+        jnp.where(overlap, 1.0, 0.0), valid, 0.5
+    )
+    return _select_topk_sorted(keep, post_max_size)

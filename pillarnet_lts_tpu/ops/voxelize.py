@@ -1,0 +1,117 @@
+"""Dynamic pillar voxelization with static shapes (jnp path).
+
+TPU-native replacement for the reference CUDA pipeline
+(`det3d/ops/pillar_ops/src/pillar_ops_gpu.cu:14-79` +
+`pillar_ops/pillar_utils.py:22-58`): the reference builds a dynamically-sized
+compact pillar list (host-sync `.item()` at `pillar_utils.py:44`), runs the
+shared MLP on stacked points, and scatter-maxes into the compact list. Here
+everything is static: points come padded to (B, N, C) with a validity mask,
+per-point pillar ids are computed in-register, and the max-pool scatters
+straight into the dense BEV grid (the backbone is occupancy-masked dense, so
+the compact->dense `.dense()` step disappears entirely).
+
+`jax.ops.segment_max` lowers to an XLA scatter-max; a fused Pallas kernel
+lives in `ops/pallas/voxelize_kernel.py` for the hot path.
+"""
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PillarSpec(NamedTuple):
+    """Static grid geometry (reference `pillar_utils.py:7-10` bev_spatial_shape)."""
+
+    pillar_size: float
+    pc_range: Tuple[float, float, float, float, float, float]
+
+    @property
+    def width(self) -> int:
+        return int(round((self.pc_range[3] - self.pc_range[0]) / self.pillar_size))
+
+    @property
+    def height(self) -> int:
+        return int(round((self.pc_range[4] - self.pc_range[1]) / self.pillar_size))
+
+    @property
+    def x_offset(self) -> float:
+        return self.pillar_size / 2.0 + self.pc_range[0]
+
+    @property
+    def y_offset(self) -> float:
+        return self.pillar_size / 2.0 + self.pc_range[1]
+
+
+def voxelize_points(points, points_mask, spec: PillarSpec):
+    """Per-point pillar ids + PFE input features.
+
+    Mirrors `DynamicPFE.forward` coordinate math
+    (`models/readers/dynamic_pillar_encoder.py:34-43`) and the
+    relative-to-pillar-center feature construction
+    (`pillar_ops/pillar_utils.py:50-56`).
+
+    Args:
+      points: (B, N, C) padded points; channels [x, y, z, ...extra].
+      points_mask: (B, N) bool validity.
+      spec: grid geometry.
+
+    Returns:
+      feats: (B, N, 2 + C) [dx_center, dy_center, original C...]
+      flat_ids: (B, N) int32 pillar id y*W + x; invalid points -> H*W.
+      valid: (B, N) bool (mask AND in-range).
+    """
+    H, W = spec.height, spec.width
+    x = points[..., 0]
+    y = points[..., 1]
+    cx = jnp.floor((x - spec.pc_range[0]) / spec.pillar_size).astype(jnp.int32)
+    cy = jnp.floor((y - spec.pc_range[1]) / spec.pillar_size).astype(jnp.int32)
+    in_range = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+    valid = points_mask & in_range
+
+    cx_c = jnp.clip(cx, 0, W - 1)
+    cy_c = jnp.clip(cy, 0, H - 1)
+    flat = cy_c * W + cx_c
+    flat = jnp.where(valid, flat, H * W).astype(jnp.int32)
+
+    center_x = cx_c.astype(points.dtype) * spec.pillar_size + spec.x_offset
+    center_y = cy_c.astype(points.dtype) * spec.pillar_size + spec.y_offset
+    rel = jnp.stack([x - center_x, y - center_y], axis=-1)
+    feats = jnp.concatenate([rel, points], axis=-1)
+    # zero padded rows so downstream masked reductions are clean
+    feats = feats * valid[..., None].astype(feats.dtype)
+    return feats, flat, valid
+
+
+def scatter_max_to_grid(point_feats, flat_ids, valid, height, width):
+    """Segment-max point features into the dense BEV grid.
+
+    Replaces `scatter_max_kernel` (`pillar_ops/src/scatter_ops_gpu.cu:13-45`)
+    + `SparseConvTensor.dense()`: empty pillars come out 0 (spconv dense fill),
+    occupied pillars hold the per-channel max over their points.
+
+    Args:
+      point_feats: (B, N, C) post-MLP features.
+      flat_ids: (B, N) int32 in [0, H*W]; H*W = dropped.
+      valid: (B, N) bool.
+    Returns:
+      grid: (B, H, W, C); occupancy: (B, H, W) bool.
+    """
+    num_seg = height * width + 1
+
+    def one(feats, ids, ok):
+        neg = jnp.finfo(feats.dtype).min
+        feats = jnp.where(ok[:, None], feats, neg)
+        grid = jax.ops.segment_max(
+            feats, ids, num_segments=num_seg, indices_are_sorted=False
+        )
+        occ = jax.ops.segment_max(
+            ok.astype(jnp.int32), ids, num_segments=num_seg
+        ) > 0
+        grid = jnp.where(occ[:, None], grid, 0.0)[: height * width]
+        return (
+            grid.reshape(height, width, feats.shape[-1]),
+            occ[: height * width].reshape(height, width),
+        )
+
+    return jax.vmap(one)(point_feats, flat_ids, valid)

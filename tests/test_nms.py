@@ -1,0 +1,80 @@
+import numpy as np
+import jax.numpy as jnp
+
+from pillarnet_lts_tpu.ops import nms as nms_ops
+
+
+def _np_circle_nms(dets, thresh):
+    """Reference re-derivation of circle_nms (`circle_nms_jit.py:5-28`)."""
+    x1, y1, scores = dets[:, 0], dets[:, 1], dets[:, 2]
+    order = scores.argsort()[::-1]
+    suppressed = np.zeros(len(dets), dtype=bool)
+    keep = []
+    for _i in range(len(dets)):
+        i = order[_i]
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for _j in range(_i + 1, len(dets)):
+            j = order[_j]
+            if suppressed[j]:
+                continue
+            dist = (x1[i] - x1[j]) ** 2 + (y1[i] - y1[j]) ** 2
+            if dist <= thresh:
+                suppressed[j] = True
+    return keep
+
+
+def test_circle_nms_matches_reference():
+    rng = np.random.RandomState(0)
+    n = 64
+    centers = rng.uniform(-5, 5, (n, 2)).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    thresh = 4.0
+
+    order = np.argsort(-scores)
+    sorted_centers = centers[order]
+    sel_idx, sel_mask = nms_ops.circle_nms(
+        jnp.array(sorted_centers), jnp.ones(n, bool), thresh, post_max_size=n
+    )
+    got = order[np.asarray(sel_idx)[np.asarray(sel_mask)]]
+
+    dets = np.concatenate([centers, scores[:, None]], axis=1)
+    want = _np_circle_nms(dets, thresh)
+    np.testing.assert_array_equal(sorted(got.tolist()), sorted(want))
+    # greedy order: both keep-score-descending
+    np.testing.assert_array_equal(got.tolist(), want)
+
+
+def test_rotated_nms_suppresses_duplicates():
+    # three duplicate boxes + one distant
+    boxes = np.array(
+        [
+            [0, 0, 0, 2, 4, 1.5, 0.2],
+            [0.05, 0.02, 0, 2, 4, 1.5, 0.21],
+            [0.01, -0.03, 0, 2, 4, 1.5, 0.19],
+            [20, 20, 0, 2, 4, 1.5, 1.0],
+        ],
+        dtype=np.float32,
+    )
+    scores = np.array([0.9, 0.8, 0.7, 0.6], dtype=np.float32)
+    sel_idx, sel_mask = nms_ops.rotated_nms(
+        jnp.array(boxes), jnp.array(scores), jnp.ones(4, bool),
+        nms_thresh=0.2, post_max_size=4,
+    )
+    kept = np.asarray(sel_idx)[np.asarray(sel_mask)]
+    np.testing.assert_array_equal(sorted(kept.tolist()), [0, 3])
+
+
+def test_rotated_nms_respects_validity_and_post_max():
+    boxes = np.tile(
+        np.array([[0, 0, 0, 2, 4, 1.5, 0.0]], dtype=np.float32), (8, 1)
+    )
+    boxes[:, 0] = np.arange(8) * 10.0  # all disjoint
+    valid = np.array([True] * 6 + [False] * 2)
+    sel_idx, sel_mask = nms_ops.rotated_nms(
+        jnp.array(boxes), jnp.ones(8, np.float32), jnp.array(valid),
+        nms_thresh=0.5, post_max_size=4,
+    )
+    assert np.asarray(sel_mask).sum() == 4
+    assert np.asarray(sel_idx)[np.asarray(sel_mask)].max() < 6

@@ -1,0 +1,71 @@
+import numpy as np
+import jax.numpy as jnp
+
+from pillarnet_lts_tpu.ops.voxelize import PillarSpec, voxelize_points, scatter_max_to_grid
+
+
+SPEC = PillarSpec(pillar_size=0.5, pc_range=(0.0, -2.0, -3.0, 4.0, 2.0, 1.0))
+
+
+def test_spec_shape():
+    assert SPEC.width == 8
+    assert SPEC.height == 8
+    assert SPEC.x_offset == 0.25
+    assert SPEC.y_offset == -1.75
+
+
+def test_voxelize_ids_and_features():
+    pts = np.array(
+        [
+            [0.1, -1.9, 0.0, 1.0],   # pillar (0, 0)
+            [3.9, 1.9, 0.0, 2.0],    # pillar (7, 7)
+            [0.6, -1.9, 0.0, 3.0],   # pillar (1, 0)
+            [-1.0, 0.0, 0.0, 4.0],   # out of range
+        ],
+        dtype=np.float32,
+    )[None]
+    mask = np.array([[True, True, True, True]])
+    feats, flat, valid = voxelize_points(jnp.array(pts), jnp.array(mask), SPEC)
+    flat = np.asarray(flat)[0]
+    valid = np.asarray(valid)[0]
+    assert flat[0] == 0
+    assert flat[1] == 7 * 8 + 7
+    assert flat[2] == 1
+    assert flat[3] == 64  # sentinel
+    assert list(valid) == [True, True, True, False]
+    feats = np.asarray(feats)[0]
+    # rel-center features for point 0: center (0.25, -1.75)
+    np.testing.assert_allclose(feats[0, :2], [0.1 - 0.25, -1.9 + 1.75], atol=1e-6)
+    # padded/out-of-range rows zeroed
+    np.testing.assert_allclose(feats[3], 0.0)
+
+
+def test_scatter_max_matches_numpy():
+    rng = np.random.RandomState(0)
+    B, N, C = 2, 128, 16
+    H = W = 8
+    feats = rng.randn(B, N, C).astype(np.float32)
+    ids = rng.randint(0, H * W, (B, N)).astype(np.int32)
+    valid = rng.rand(B, N) > 0.3
+    ids_s = np.where(valid, ids, H * W)
+
+    grid, occ = scatter_max_to_grid(
+        jnp.array(feats), jnp.array(ids_s), jnp.array(valid), H, W
+    )
+    grid = np.asarray(grid).reshape(B, H * W, C)
+    occ = np.asarray(occ).reshape(B, H * W)
+
+    for b in range(B):
+        want = np.zeros((H * W, C), np.float32)
+        want_occ = np.zeros(H * W, bool)
+        for i in range(N):
+            if not valid[b, i]:
+                continue
+            s = ids[b, i]
+            if want_occ[s]:
+                want[s] = np.maximum(want[s], feats[b, i])
+            else:
+                want[s] = feats[b, i]
+                want_occ[s] = True
+        np.testing.assert_array_equal(occ[b], want_occ)
+        np.testing.assert_allclose(grid[b], want, atol=1e-6)
