@@ -1,0 +1,109 @@
+"""PillarResNet BEV backbones (masked-dense).
+
+Stage/channel/stride layout matches the reference exactly
+(`det3d/models/backbones/PillarResNet.py`):
+
+  conv1 @ stride 1 (C),  conv2 @ 2 (2C),  conv3 @ 4 (4C),  conv4 @ 8 (8C)
+  [+ dense conv5 @ 16 (8C) for the non-'S' variants, `PillarResNet.py:110-117`]
+
+Block counts: 18 -> (2, 2, 2, 2) + conv5(1+2 dense); 34 -> (3, 4, 6, 3).
+Returns a dict {'conv1'...'conv5'} of (features, occupancy-mask) pairs;
+conv5 carries mask None (it is dense, reference `.dense()` at
+`PillarResNet.py:139`).
+"""
+
+from typing import Any, Dict, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..registry import BACKBONES
+from .base import (
+    DenseConvBNReLU,
+    Sparse2DBasicBlock,
+    Sparse2DBasicBlockV,
+    SparseDownStage,
+)
+
+
+class _PillarResNetBase(nn.Module):
+    in_channels: int = 32
+    dtype: Any = jnp.float32
+
+    # subclass config
+    conv1_blocks: int = 2  # total blocks in conv1 (first is the V block)
+    stage_blocks: Tuple[int, int, int] = (2, 2, 2)  # conv2..conv4
+    with_conv5: bool = False
+
+    @nn.compact
+    def __call__(self, grid, occ, train: bool = True) -> Dict[str, tuple]:
+        c = self.in_channels
+
+        x = Sparse2DBasicBlockV(c, dtype=self.dtype, name="conv1_block0")(
+            grid, occ, train
+        )
+        for i in range(1, self.conv1_blocks):
+            x = Sparse2DBasicBlock(c, dtype=self.dtype, name=f"conv1_block{i}")(
+                x, occ, train
+            )
+        x1, m1 = x, occ
+
+        x2, m2 = SparseDownStage(
+            c * 2, self.stage_blocks[0], dtype=self.dtype, name="conv2"
+        )(x1, m1, train)
+        x3, m3 = SparseDownStage(
+            c * 4, self.stage_blocks[1], dtype=self.dtype, name="conv3"
+        )(x2, m2, train)
+        x4, m4 = SparseDownStage(
+            c * 8, self.stage_blocks[2], dtype=self.dtype, name="conv4"
+        )(x3, m3, train)
+
+        out = {
+            "conv1": (x1, m1),
+            "conv2": (x2, m2),
+            "conv3": (x3, m3),
+            "conv4": (x4, m4),
+        }
+
+        if self.with_conv5:
+            # dense stride-16 stage (`PillarResNet.py:110-117`)
+            y = DenseConvBNReLU(
+                c * 8, kernel_size=3, stride=2, dtype=self.dtype, name="conv5_down"
+            )(x4, train)
+            y = DenseConvBNReLU(
+                c * 8, kernel_size=3, stride=1, dtype=self.dtype, name="conv5_block0"
+            )(y, train)
+            y = DenseConvBNReLU(
+                c * 8, kernel_size=3, stride=1, dtype=self.dtype, name="conv5_block1"
+            )(y, train)
+            out["conv5"] = (y, None)
+
+        return out
+
+
+@BACKBONES.register_module
+class PillarResNet18S(_PillarResNetBase):
+    conv1_blocks: int = 2
+    stage_blocks: Tuple[int, int, int] = (2, 2, 2)
+    with_conv5: bool = False
+
+
+@BACKBONES.register_module
+class PillarResNet18(_PillarResNetBase):
+    conv1_blocks: int = 2
+    stage_blocks: Tuple[int, int, int] = (2, 2, 2)
+    with_conv5: bool = True
+
+
+@BACKBONES.register_module
+class PillarResNet34S(_PillarResNetBase):
+    conv1_blocks: int = 3
+    stage_blocks: Tuple[int, int, int] = (4, 6, 3)
+    with_conv5: bool = False
+
+
+@BACKBONES.register_module
+class PillarResNet34(_PillarResNetBase):
+    conv1_blocks: int = 3
+    stage_blocks: Tuple[int, int, int] = (4, 6, 3)
+    with_conv5: bool = True

@@ -1,0 +1,90 @@
+"""PillarNet single-stage detector.
+
+Mirrors the reference composition (`det3d/models/detectors/pillarnet.py:7-82`
++ `single_stage.py:11-45`): reader -> backbone -> neck -> CenterHead. The
+module is a pure function of (points, points_mask); loss/predict are
+parameter-free methods of the head, exposed here for API parity (decorated
+`nn.nowrap` — they construct helper dataclasses and must not be treated as
+flax compute methods).
+"""
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...core.utils import set_by_task_cfg
+from .. import builder
+from ..registry import DETECTORS
+
+
+@DETECTORS.register_module
+class PillarNet(nn.Module):
+    reader: dict
+    backbone: dict
+    neck: dict
+    bbox_head: dict
+    train_cfg: Optional[dict] = None
+    test_cfg: Optional[dict] = None
+    pretrained: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.reader_net = builder.build_reader({**self.reader, "dtype": self.dtype})
+        self.backbone_net = builder.build_backbone(
+            {**self.backbone, "dtype": self.dtype}
+        )
+        self.neck_net = builder.build_neck({**self.neck, "dtype": self.dtype})
+        self.head_net = builder.build_head({**self.bbox_head, "dtype": self.dtype})
+
+    # ---- parameter-free helpers (plain python, not flax compute) -----------
+    @nn.nowrap
+    def get_head(self):
+        """Unbound CenterHead instance for loss/predict math outside apply()."""
+        return builder.build_head({**self.bbox_head, "dtype": self.dtype})
+
+    @nn.nowrap
+    def get_num_classes(self):
+        return self.get_head().num_classes
+
+    @nn.nowrap
+    def nms_post_maxsize(self):
+        """NMS_POST_MAXSIZE (`pillarnet.py:19-22`)."""
+        p = self.test_cfg["nms"]["nms_post_max_size"]
+        return sum(p) if isinstance(p, (list, tuple)) else p
+
+    @nn.nowrap
+    def processed_test_cfg(self):
+        cfg = dict(self.test_cfg)
+        if cfg["nms"].get("use_multi_class_nms", False):
+            cfg = set_by_task_cfg(cfg, self.get_num_classes())
+        return cfg
+
+    @nn.nowrap
+    def loss(self, example, preds, train_cfg=None):
+        return self.get_head().loss(example, preds, train_cfg or self.train_cfg)
+
+    @nn.nowrap
+    def predict(self, example, preds, test_cfg=None):
+        return self.get_head().predict(
+            example, preds, test_cfg or self.processed_test_cfg()
+        )
+
+    # ---- compute ------------------------------------------------------------
+    def extract_feat(self, points, points_mask, train: bool):
+        grid, occ = self.reader_net(points, points_mask, train)
+        feats = self.backbone_net(grid, occ, train)
+        bev = self.neck_net(feats, train)
+        return bev, feats
+
+    def __call__(self, points, points_mask, train: bool = True):
+        bev, _ = self.extract_feat(points, points_mask, train)
+        return self.head_net(bev, train)
+
+    def forward_two_stage(self, points, points_mask, train: bool = True):
+        """First-stage forward that also surfaces BEV + backbone features
+        for the RCNN second stage (`pillarnet.py:51-82`). Box decoding /
+        prediction happens outside apply (parameter-free)."""
+        bev, feats = self.extract_feat(points, points_mask, train)
+        preds = self.head_net(bev, train)
+        return preds, bev, feats

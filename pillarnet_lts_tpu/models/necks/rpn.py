@@ -1,0 +1,189 @@
+"""Dense BEV FPN necks.
+
+Structural parity with the reference (`det3d/models/necks/rpn.py:138-450`):
+
+- RPNV1: conv5 -> block -> deconv x2 -> concat conv4 -> block; one output at
+  stride 8 (`rpn.py:138-207`).
+- RPNV2: conv4 -> block -> deconv x2 -> concat conv3 -> block; one output at
+  stride 4 (`rpn.py:211-272`).
+- RPNG: top-down 5 -> 4 -> 3; outputs at strides 8 and 4 (`rpn.py:276-355`).
+- RPNGV2: same but with 3x3 'reduce' laterals (`rpn.py:359-450`).
+
+All inputs are already dense masked maps (backbone output), so the
+reference's `.dense()` conversion disappears. Norms here are plain BN2d
+("BN" in reference norm_cfg) — statistics over every site.
+"""
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..registry import NECKS
+from ..utils.norm import MaskedBatchNorm
+
+_XAVIER = nn.initializers.xavier_uniform()
+
+
+class _ConvBNReLU(nn.Module):
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(
+            self.features, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+            kernel_init=_XAVIER, dtype=self.dtype, param_dtype=jnp.float32,
+        )(x)
+        x = MaskedBatchNorm(self.features, dtype=self.dtype)(
+            x, mask=None, train=train
+        )
+        return nn.relu(x)
+
+
+class _Block(nn.Module):
+    """_build_layer (`rpn.py:172-185`): 1 + num_blocks conv+BN+ReLU units."""
+
+    features: int
+    num_blocks: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = _ConvBNReLU(self.features, dtype=self.dtype, name="conv0")(x, train)
+        for i in range(self.num_blocks):
+            x = _ConvBNReLU(self.features, dtype=self.dtype, name=f"conv{i + 1}")(
+                x, train
+            )
+        return x
+
+
+class _DeBlock(nn.Module):
+    """ConvTranspose2d(k=2, s=2) + BN + ReLU (`rpn.py:150-154`)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.ConvTranspose(
+            self.features, (2, 2), strides=(2, 2), use_bias=False,
+            kernel_init=_XAVIER, dtype=self.dtype, param_dtype=jnp.float32,
+        )(x)
+        x = MaskedBatchNorm(self.features, dtype=self.dtype)(
+            x, mask=None, train=train
+        )
+        return nn.relu(x)
+
+
+def _feat(x):
+    """Accept (features, mask) pairs or bare arrays from the backbone dict."""
+    return x[0] if isinstance(x, tuple) else x
+
+
+@NECKS.register_module
+class RPNV1(nn.Module):
+    layer_nums: Sequence[int]
+    num_filters: int
+    in_channels: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = True):
+        x4 = _feat(feats["conv4"])
+        x5 = _feat(feats["conv5"])
+        x = _Block(self.in_channels[0], self.layer_nums[0], dtype=self.dtype,
+                   name="block_5")(x5, train)
+        up = _DeBlock(self.in_channels[1], dtype=self.dtype, name="deblock_5")(
+            x, train
+        )
+        x = jnp.concatenate([x4, up], axis=-1)
+        x = _Block(self.num_filters, self.layer_nums[1], dtype=self.dtype,
+                   name="block_4")(x, train)
+        return (x,)
+
+
+@NECKS.register_module
+class RPNV2(nn.Module):
+    layer_nums: Sequence[int]
+    in_channels: Sequence[int]
+    num_filters: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = True):
+        x3 = _feat(feats["conv3"])
+        x4 = _feat(feats["conv4"])
+        x = _Block(self.in_channels[0], self.layer_nums[0], dtype=self.dtype,
+                   name="block_4")(x4, train)
+        up = _DeBlock(self.in_channels[1], dtype=self.dtype, name="deblock_4")(
+            x, train
+        )
+        x = jnp.concatenate([x3, up], axis=-1)
+        x = _Block(self.num_filters, self.layer_nums[1], dtype=self.dtype,
+                   name="block_3")(x, train)
+        return (x,)
+
+
+@NECKS.register_module
+class RPNG(nn.Module):
+    layer_nums: Sequence[int]
+    in_channels: Sequence[int]
+    num_filters: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = True):
+        x3 = _feat(feats["conv3"])
+        x4 = _feat(feats["conv4"])
+        x5 = _feat(feats["conv5"])
+        # head stride 8
+        x5b = _Block(self.in_channels[0], self.layer_nums[0], dtype=self.dtype,
+                     name="block_5")(x5, train)
+        up54 = _DeBlock(self.in_channels[1], dtype=self.dtype, name="top_down_54")(
+            x5b, train
+        )
+        x4b = jnp.concatenate([x4, up54], axis=-1)
+        x4b = _Block(self.num_filters[0], self.layer_nums[0], dtype=self.dtype,
+                     name="block_4")(x4b, train)
+        # head stride 4
+        up43 = _DeBlock(self.in_channels[2], dtype=self.dtype, name="top_down_43")(
+            x4b, train
+        )
+        x3b = jnp.concatenate([x3, up43], axis=-1)
+        x3b = _Block(self.num_filters[1], self.layer_nums[1], dtype=self.dtype,
+                     name="block_3")(x3b, train)
+        return (x4b, x3b)
+
+
+@NECKS.register_module
+class RPNGV2(nn.Module):
+    layer_nums: Sequence[int]
+    in_channels: Sequence[int]
+    num_filters: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = True):
+        x3 = _feat(feats["conv3"])
+        x4 = _feat(feats["conv4"])
+        x5 = _feat(feats["conv5"])
+        # head stride 8
+        r4 = _ConvBNReLU(self.num_filters[0] // 2, dtype=self.dtype,
+                         name="reduce_4")(x4, train)
+        x5b = _Block(self.in_channels[0], self.layer_nums[0], dtype=self.dtype,
+                     name="block_5")(x5, train)
+        up54 = _DeBlock(self.num_filters[0] // 2, dtype=self.dtype,
+                        name="top_down_54")(x5b, train)
+        x4b = jnp.concatenate([r4, up54], axis=-1)
+        x4b = _Block(self.num_filters[0], self.layer_nums[0], dtype=self.dtype,
+                     name="block_4")(x4b, train)
+        # head stride 4
+        r3 = _ConvBNReLU(self.num_filters[1] // 2, dtype=self.dtype,
+                         name="reduce_3")(x3, train)
+        up43 = _DeBlock(self.num_filters[1] // 2, dtype=self.dtype,
+                        name="top_down_43")(x4b, train)
+        x3b = jnp.concatenate([r3, up43], axis=-1)
+        x3b = _Block(self.num_filters[1], self.layer_nums[1], dtype=self.dtype,
+                     name="block_3")(x3b, train)
+        return (x4b, x3b)

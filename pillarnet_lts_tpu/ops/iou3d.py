@@ -22,6 +22,7 @@ heading mapped to ``-yaw - pi/2`` — before overlap math, so results are
 comparable bit-for-bit in convention.
 """
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
@@ -124,6 +125,7 @@ def _convex_intersection_area(a_quad, b_quad):
     return jnp.where(num_valid[..., 0] >= 3, area, 0.0)
 
 
+@jax.jit
 def rotated_overlap_bev(boxes_a, boxes_b):
     """Pairwise rotated BEV overlap area (N, M); pcdet BEV (.., 5) inputs.
 
@@ -135,6 +137,7 @@ def rotated_overlap_bev(boxes_a, boxes_b):
     return _convex_intersection_area(ca, cb)
 
 
+@jax.jit
 def rotated_iou_bev(boxes_a, boxes_b):
     """Pairwise rotated BEV IoU (N, M); pcdet BEV inputs (`iou_bev`)."""
     overlap = rotated_overlap_bev(boxes_a, boxes_b)
@@ -156,6 +159,7 @@ def _height_overlap(za, ha, zb, hb):
     return jnp.maximum(top - bot, 0.0)
 
 
+@jax.jit
 def boxes_iou3d(boxes_a, boxes_b):
     """Pairwise 3D IoU (N, M); det3d 7-dim boxes (x,y,z,w,l,h,yaw).
 
@@ -174,6 +178,7 @@ def boxes_iou3d(boxes_a, boxes_b):
     return overlaps_3d / jnp.maximum(vol_a + vol_b - overlaps_3d, 1e-6)
 
 
+@jax.jit
 def boxes_aligned_iou3d(boxes_a, boxes_b):
     """Row-aligned 3D IoU (N,); det3d 7-dim boxes.
 

@@ -8,6 +8,8 @@ sequential `lax.fori_loop` over score-sorted candidates with vector updates —
 no host sync, fixed K in / fixed `post_max_size` out (padded, validity-masked).
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -44,6 +46,7 @@ def _select_topk_sorted(keep, post_max_size):
     return order, keep[order]
 
 
+@partial(jax.jit, static_argnames=("post_max_size",))
 def rotated_nms(
     boxes,
     scores,
@@ -75,6 +78,7 @@ def rotated_nms(
     return _select_topk_sorted(keep, post_max_size)
 
 
+@partial(jax.jit, static_argnames=("post_max_size",))
 def circle_nms(centers, valid, min_radius, post_max_size):
     """Center-distance greedy suppression (`circle_nms_jit.py:5-28`).
 

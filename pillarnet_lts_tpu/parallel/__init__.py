@@ -1,0 +1,12 @@
+from .mesh import make_mesh, shard_batch, replicate
+from .train_state import TrainState
+from .train_step import make_train_step, make_eval_step
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "TrainState",
+    "make_train_step",
+    "make_eval_step",
+]

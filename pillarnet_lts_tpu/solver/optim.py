@@ -1,0 +1,89 @@
+"""Optimizer + LR/momentum schedules.
+
+Replicates the reference solver exactly (`det3d/solver/`):
+
+- OneCycle (`learning_schedules_fastai.py:77-96`): two cosine phases —
+  lr:  lr_max/div_factor -> lr_max over pct_start, then lr_max -> lr_max/1e4/
+  div_factor... precisely `low_lr / 1e4` where low_lr = lr_max/div_factor;
+  mom: moms[0] -> moms[1], then moms[1] -> moms[0].
+- Optimizer: Adam with *true* (decoupled) weight decay (`fastai_optim.py:121`
+  OptimWrapper true_wd, config `wd=0.01, fixed_wd=True`) == AdamW; the
+  one-cycle momentum drives Adam's beta1 (fastai maps mom -> betas[0]).
+- Gradient clipping by global norm (`torchie/trainer/hooks/optimizer.py:15-21`
+  with optimizer_config.grad_clip max_norm).
+
+Implemented as optax transforms; schedules are jit-friendly closures over the
+global step, mirroring `LRSchedulerStep.step` called once per iteration
+(`trainer.py:406-407`).
+"""
+
+import jax.numpy as jnp
+import optax
+
+
+def _annealing_cos(start, end, pct):
+    """Cosine anneal from start to end as pct goes 0 -> 1
+    (`learning_schedules_fastai.py:70-74`)."""
+    cos_out = jnp.cos(jnp.pi * pct) + 1.0
+    return end + (start - end) / 2.0 * cos_out
+
+
+def one_cycle_schedules(total_steps, lr_max, moms, div_factor, pct_start):
+    """Returns (lr_schedule, mom_schedule) callables of the global step."""
+    low_lr = lr_max / div_factor
+    final_lr = low_lr / 1e4
+    a1 = int(total_steps * pct_start)
+    a1 = max(a1, 1)
+    span2 = max(total_steps - a1, 1)
+
+    def lr_fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        pct1 = jnp.clip(step / a1, 0.0, 1.0)
+        pct2 = jnp.clip((step - a1) / span2, 0.0, 1.0)
+        up = _annealing_cos(low_lr, lr_max, pct1)
+        down = _annealing_cos(lr_max, final_lr, pct2)
+        return jnp.where(step < a1, up, down)
+
+    def mom_fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        pct1 = jnp.clip(step / a1, 0.0, 1.0)
+        pct2 = jnp.clip((step - a1) / span2, 0.0, 1.0)
+        down = _annealing_cos(moms[0], moms[1], pct1)
+        up = _annealing_cos(moms[1], moms[0], pct2)
+        return jnp.where(step < a1, down, up)
+
+    return lr_fn, mom_fn
+
+
+def build_optimizer(cfg, lr_config, total_steps, grad_clip_norm=None):
+    """Build the training gradient transformation from reference-style config.
+
+    cfg: e.g. dict(type='adam', amsgrad=0.0, wd=0.01, fixed_wd=True)
+    lr_config: dict(type='one_cycle', lr_max=..., moms=[...], div_factor=...,
+                    pct_start=...)
+    """
+    opt_type = cfg.get("type", "adam").lower()
+    if opt_type != "adam":
+        raise NotImplementedError(f"optimizer type {opt_type}")
+    wd = cfg.get("wd", 0.01)
+
+    if lr_config.get("type") == "one_cycle":
+        lr_fn, mom_fn = one_cycle_schedules(
+            total_steps,
+            lr_config["lr_max"],
+            tuple(lr_config["moms"]),
+            lr_config["div_factor"],
+            lr_config["pct_start"],
+        )
+    else:
+        raise NotImplementedError(f"lr schedule {lr_config.get('type')}")
+
+    opt = optax.inject_hyperparams(optax.adamw)(
+        learning_rate=lr_fn, b1=mom_fn, b2=0.99, weight_decay=wd
+    )
+
+    transforms = []
+    if grad_clip_norm is not None:
+        transforms.append(optax.clip_by_global_norm(grad_clip_norm))
+    transforms.append(opt)
+    return optax.chain(*transforms)
