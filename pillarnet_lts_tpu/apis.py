@@ -1,0 +1,71 @@
+"""High-level train/eval entry points.
+
+Equivalent of `det3d/torchie/apis/train.py:255-326` ``train_detector``:
+build loaders, optimizer (+ one-cycle schedule over the full step budget),
+trainer + hooks, optional resume, run. DDP wrapping / apex syncBN disappear:
+the mesh + jit sharding in the Trainer subsume both.
+"""
+
+import logging
+
+from .datasets.loader import build_dataloader
+from .models import build_detector
+from .runtime import CheckpointHook, IterTimerHook, TextLoggerHook, Trainer
+from .solver import build_optimizer
+
+
+def build_model_from_cfg(cfg):
+    model_cfg = dict(cfg.model)
+    return build_detector(
+        model_cfg, train_cfg=cfg.train_cfg, test_cfg=cfg.test_cfg
+    )
+
+
+def train_detector(model, dataset, cfg, logger=None, resume_from=None):
+    logger = logger or logging.getLogger("train")
+
+    data_cfg = cfg.data
+    loader = build_dataloader(
+        dataset,
+        batch_size=data_cfg["samples_per_gpu"],
+        workers_per_gpu=data_cfg["workers_per_gpu"],
+        shuffle=True,
+        max_points=data_cfg.get("max_points", None),
+    )
+
+    total_epochs = cfg.total_epochs
+    total_steps = total_epochs * len(loader)
+    grad_clip = None
+    if cfg.get("optimizer_config") and cfg.optimizer_config.get("grad_clip"):
+        grad_clip = cfg.optimizer_config["grad_clip"]["max_norm"]
+    tx = build_optimizer(cfg.optimizer, cfg.lr_config, total_steps, grad_clip)
+
+    trainer = Trainer(
+        model,
+        tx,
+        dict(cfg.train_cfg),
+        cfg.work_dir,
+        logger=logger,
+        cfg_text=cfg.text,
+        class_names=list(getattr(cfg, "class_names", []) or []),
+    )
+
+    # initialize parameters from the first batch's shapes
+    first_batch = next(iter(loader))
+    trainer.init_state(first_batch)
+
+    log_interval = 10
+    if cfg.get("log_config"):
+        log_interval = cfg.log_config.get("interval", 10)
+    trainer.register_hook(IterTimerHook())
+    trainer.register_hook(TextLoggerHook(interval=log_interval, logger=logger))
+    ckpt_interval = 1
+    if cfg.get("checkpoint_config"):
+        ckpt_interval = cfg.checkpoint_config.get("interval", 1)
+    trainer.register_hook(CheckpointHook(interval=ckpt_interval))
+
+    if resume_from:
+        trainer.resume(resume_from)
+
+    trainer.run(loader, total_epochs)
+    return trainer

@@ -16,16 +16,9 @@ import jax.numpy as jnp
 from .iou3d import to_pcdet_bev, rotated_iou_bev
 
 
-def _greedy_suppress(iou, valid, thresh):
-    """Greedy suppression over score-descending boxes.
-
-    Args:
-      iou: (K, K) pairwise IoU, row/col in score order (desc).
-      valid: (K,) candidate validity (already score/range filtered).
-      thresh: scalar IoU threshold.
-    Returns:
-      keep: (K,) bool.
-    """
+def _greedy_suppress_sequential(iou, valid, thresh):
+    """Reference greedy suppression: K sequential steps (used in tests as the
+    oracle for the fixpoint formulation below)."""
     k = iou.shape[0]
     idx = jnp.arange(k)
 
@@ -36,6 +29,51 @@ def _greedy_suppress(iou, valid, thresh):
 
     suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
     return jnp.logical_not(suppressed) & valid
+
+
+def _greedy_suppress(iou, valid, thresh):
+    """Greedy suppression over score-descending boxes, TPU-shaped.
+
+    Exact fixpoint formulation of greedy NMS: with overlap matrix
+    M[j, i] = (j < i) & (iou[j, i] > thresh), the greedy keep set is the
+    unique fixpoint of
+
+        keep_i <- valid_i & ~any_j ( M[j, i] & keep_j )
+
+    starting from keep = valid. After m sweeps every suppression chain of
+    depth <= m has stabilized, so the loop terminates in max-chain-depth
+    iterations (single digits in practice vs. K = nms_pre_max_size
+    sequential steps for the scalar greedy loop; each sweep is one
+    MXU-friendly (K,K) @ (K,) matvec). A K-iteration cap guarantees
+    termination in the worst case.
+
+    Args:
+      iou: (K, K) pairwise IoU, rows/cols in score order (desc).
+      valid: (K,) candidate validity (already score/range filtered).
+      thresh: scalar IoU threshold.
+    Returns:
+      keep: (K,) bool.
+    """
+    k = iou.shape[0]
+    idx = jnp.arange(k)
+    lower = idx[:, None] < idx[None, :]  # j < i (row j suppresses col i)
+    m = (lower & (iou > thresh)).astype(jnp.float32)
+    validf = valid.astype(jnp.float32)
+
+    def cond(carry):
+        keep, prev, it = carry
+        return (it < k) & jnp.any(keep != prev)
+
+    def body(carry):
+        keep, _, it = carry
+        suppressed = (keep.astype(jnp.float32) @ m) > 0.0
+        new_keep = valid & jnp.logical_not(suppressed)
+        return new_keep, keep, it + 1
+
+    init = (valid, jnp.zeros_like(valid), jnp.asarray(0, jnp.int32))
+    keep, _, _ = jax.lax.while_loop(cond, body, init)
+    del validf
+    return keep
 
 
 def _select_topk_sorted(keep, post_max_size):

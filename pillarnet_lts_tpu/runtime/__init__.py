@@ -1,0 +1,16 @@
+from .log_buffer import LogBuffer
+from .hooks import Hook, TextLoggerHook, CheckpointHook, IterTimerHook
+from .checkpoint import save_checkpoint, load_checkpoint, latest_checkpoint
+from .trainer import Trainer
+
+__all__ = [
+    "LogBuffer",
+    "Hook",
+    "TextLoggerHook",
+    "CheckpointHook",
+    "IterTimerHook",
+    "save_checkpoint",
+    "load_checkpoint",
+    "latest_checkpoint",
+    "Trainer",
+]

@@ -1,0 +1,35 @@
+"""Running-average metric buffer (reference `torchie/trainer/log_buffer.py`)."""
+
+from collections import OrderedDict
+
+import numpy as np
+
+
+class LogBuffer:
+    def __init__(self):
+        self.val_history = OrderedDict()
+        self.n_history = OrderedDict()
+        self.output = OrderedDict()
+        self.ready = False
+
+    def clear(self):
+        self.val_history.clear()
+        self.n_history.clear()
+        self.clear_output()
+
+    def clear_output(self):
+        self.output.clear()
+        self.ready = False
+
+    def update(self, vars, count=1):
+        for key, var in vars.items():
+            self.val_history.setdefault(key, []).append(float(var))
+            self.n_history.setdefault(key, []).append(count)
+
+    def average(self, n=0):
+        """Average latest n values, or all if n == 0."""
+        for key in self.val_history:
+            values = np.array(self.val_history[key][-n or None:])
+            nums = np.array(self.n_history[key][-n or None:])
+            self.output[key] = float((values * nums).sum() / nums.sum())
+        self.ready = True

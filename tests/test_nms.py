@@ -78,3 +78,31 @@ def test_rotated_nms_respects_validity_and_post_max():
     )
     assert np.asarray(sel_mask).sum() == 4
     assert np.asarray(sel_idx)[np.asarray(sel_mask)].max() < 6
+
+
+def test_fixpoint_equals_sequential_greedy():
+    import jax
+    import jax.numpy as jnp
+    from pillarnet_lts_tpu.ops.nms import (
+        _greedy_suppress, _greedy_suppress_sequential,
+    )
+    from pillarnet_lts_tpu.ops.iou3d import to_pcdet_bev, rotated_iou_bev
+
+    rng = np.random.RandomState(11)
+    for trial in range(4):
+        n = 128
+        boxes = np.zeros((n, 7), np.float32)
+        # clustered boxes to create deep suppression chains
+        boxes[:, 0] = rng.uniform(-6, 6, n)
+        boxes[:, 1] = rng.uniform(-6, 6, n)
+        boxes[:, 3] = rng.uniform(1.5, 4, n)
+        boxes[:, 4] = rng.uniform(1.5, 4, n)
+        boxes[:, 5] = 1.5
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+        valid = jnp.array(rng.rand(n) > 0.1)
+        bev = to_pcdet_bev(jnp.array(boxes))
+        iou = rotated_iou_bev(bev, bev)
+        for thresh in (0.1, 0.3, 0.7):
+            a = np.asarray(_greedy_suppress(iou, valid, thresh))
+            b = np.asarray(_greedy_suppress_sequential(iou, valid, thresh))
+            np.testing.assert_array_equal(a, b)
