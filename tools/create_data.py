@@ -1,0 +1,78 @@
+"""Offline dataset preparation CLI (reference `tools/create_data.py`).
+
+Subcommands:
+  nuscenes_data_prep --root_path ... --version v1.0-trainval --nsweeps 10
+  waymo_data_prep --root_path ... --split train --nsweeps 1
+
+Info creation requires the dataset devkits (nuscenes-devkit /
+waymo-open-dataset); GT-database creation only needs the info pkls.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def nuscenes_data_prep(root_path, version="v1.0-trainval", nsweeps=10,
+                       filter_zero=True):
+    from pillarnet_lts_tpu.datasets.utils.create_gt_database import (
+        create_groundtruth_database,
+    )
+
+    info_path = os.path.join(
+        root_path,
+        f"infos_train_{nsweeps:02d}sweeps_withvelo_filter_{filter_zero}.pkl",
+    )
+    if not os.path.exists(info_path):
+        raise FileNotFoundError(
+            f"{info_path} missing — generate infos with the nuscenes-devkit "
+            "converter first (create_nuscenes_infos)"
+        )
+    create_groundtruth_database(
+        "NuScenesDataset", root_path, info_path, nsweeps=nsweeps
+    )
+
+
+def waymo_data_prep(root_path, split="train", nsweeps=1):
+    from pillarnet_lts_tpu.datasets.utils.create_gt_database import (
+        create_groundtruth_database,
+    )
+
+    info_path = os.path.join(
+        root_path, f"infos_{split}_{nsweeps:02d}sweeps_filter_zero_gt.pkl"
+    )
+    if not os.path.exists(info_path):
+        raise FileNotFoundError(
+            f"{info_path} missing — run the tfrecord converter first"
+        )
+    create_groundtruth_database(
+        "WaymoDataset", root_path, info_path, nsweeps=nsweeps,
+        used_classes=["VEHICLE", "PEDESTRIAN", "CYCLIST"],
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p1 = sub.add_parser("nuscenes_data_prep")
+    p1.add_argument("--root_path", required=True)
+    p1.add_argument("--version", default="v1.0-trainval")
+    p1.add_argument("--nsweeps", type=int, default=10)
+
+    p2 = sub.add_parser("waymo_data_prep")
+    p2.add_argument("--root_path", required=True)
+    p2.add_argument("--split", default="train")
+    p2.add_argument("--nsweeps", type=int, default=1)
+
+    args = parser.parse_args()
+    if args.cmd == "nuscenes_data_prep":
+        nuscenes_data_prep(args.root_path, args.version, args.nsweeps)
+    else:
+        waymo_data_prep(args.root_path, args.split, args.nsweeps)
+
+
+if __name__ == "__main__":
+    main()

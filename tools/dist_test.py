@@ -1,0 +1,128 @@
+"""Evaluation + latency CLI (reference `tools/dist_test.py`).
+
+Usage: python tools/dist_test.py CONFIG --checkpoint CKPT [--work_dir DIR]
+       [--speed_test] [--testset]
+
+--speed_test replicates the reference protocol (`dist_test.py:110,146-157`):
+batch size forced to 1, wall-clock with device sync per frame, reported over
+the middle third of the set.
+"""
+
+import argparse
+import logging
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from pillarnet_lts_tpu.apis import build_model_from_cfg
+from pillarnet_lts_tpu.datasets import build_dataset
+from pillarnet_lts_tpu.datasets.loader import build_dataloader
+from pillarnet_lts_tpu.eval_utils import detections_to_host
+from pillarnet_lts_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from pillarnet_lts_tpu.parallel.train_state import TrainState
+from pillarnet_lts_tpu.runtime import load_checkpoint
+from pillarnet_lts_tpu.solver import build_optimizer
+from pillarnet_lts_tpu.utils.config import Config
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Evaluate a detector")
+    parser.add_argument("config")
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--work_dir", default=None)
+    parser.add_argument("--speed_test", action="store_true")
+    parser.add_argument("--testset", action="store_true")
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO)
+    logger = logging.getLogger("test")
+    cfg = Config.fromfile(args.config)
+    work_dir = args.work_dir or cfg.work_dir
+    os.makedirs(work_dir, exist_ok=True)
+
+    model = build_model_from_cfg(cfg)
+    split = "test" if args.testset else "val"
+    dataset = build_dataset(cfg.data[split])
+
+    batch_size = 1 if args.speed_test else cfg.data["samples_per_gpu"]
+    loader = build_dataloader(
+        dataset,
+        batch_size=batch_size,
+        workers_per_gpu=cfg.data["workers_per_gpu"],
+        shuffle=False,
+        max_points=cfg.data.get("max_points"),
+        drop_last=False,
+    )
+
+    mesh = make_mesh(1)
+    # restore checkpoint into a freshly-initialized state skeleton
+    first = next(iter(loader))
+    import jax.numpy as jnp
+
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(first["points"]),
+        jnp.asarray(first["points_mask"]),
+        train=False,
+    )
+    tx = build_optimizer(cfg.optimizer, cfg.lr_config, 1, None)
+    state = TrainState.create(variables, tx)
+    state, meta = load_checkpoint(args.checkpoint, target_state=state)
+    state = replicate(state, mesh)
+    logger.info("loaded checkpoint (epoch %s)", (meta or {}).get("epoch"))
+
+    test_cfg = model.processed_test_cfg()
+
+    @jax.jit
+    def infer(params, batch_stats, points, points_mask):
+        preds = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            points, points_mask, train=False,
+        )
+        return model.predict({}, preds, test_cfg)
+
+    detections = {}
+    times = []
+    n_batches = len(loader)
+    for i, batch in enumerate(loader):
+        pts = jnp.asarray(batch["points"])
+        msk = jnp.asarray(batch["points_mask"])
+        t0 = time.perf_counter()
+        det = infer(state.params, state.batch_stats, pts, msk)
+        jax.block_until_ready(det)
+        times.append(time.perf_counter() - t0)
+        for sample in detections_to_host(det, batch["metadata"]):
+            token = sample["metadata"]["token"]
+            detections[token] = sample
+        if i % 50 == 0:
+            logger.info("batch %d/%d", i, n_batches)
+
+    if args.speed_test:
+        # middle-third protocol (`dist_test.py:146-157`)
+        mid = times[len(times) // 3 : 2 * len(times) // 3]
+        per_frame = float(np.mean(mid))
+        print(f"\nTotal time per frame: {per_frame * 1000:.2f} ms "
+              f"({1.0 / per_frame:.2f} FPS)")
+
+    with open(os.path.join(work_dir, "prediction.pkl"), "wb") as f:
+        pickle.dump(detections, f)
+
+    result_dict, _ = dataset.evaluation(
+        detections, output_dir=work_dir, testset=args.testset
+    )
+    if result_dict is not None:
+        for k, v in result_dict["results"].items():
+            print(f"Evaluation {k}: {v}")
+
+
+if __name__ == "__main__":
+    main()
