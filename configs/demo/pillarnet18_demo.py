@@ -98,12 +98,12 @@ train_pipeline = [
 ]
 
 data = dict(
-    samples_per_gpu=2,
+    samples_per_gpu=8,
     workers_per_gpu=2,
     max_points=8192,
     train=dict(
         type=dataset_type,
-        num_frames=4,
+        num_frames=8,
         num_points=4096,
         pc_range=point_cloud_range,
         class_names=class_names,

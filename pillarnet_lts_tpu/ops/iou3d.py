@@ -125,16 +125,39 @@ def _convex_intersection_area(a_quad, b_quad):
     return jnp.where(num_valid[..., 0] >= 3, area, 0.0)
 
 
+# Row-chunk size for pairwise overlap: bounds the (chunk, M, 24, 2)
+# candidate-vertex temporaries to ~tens of MB even at nms_pre_max_size=2048
+# (a full (K, K, 24, 2) buffer would be GBs).
+_PAIRWISE_CHUNK = 128
+
+
 @jax.jit
 def rotated_overlap_bev(boxes_a, boxes_b):
     """Pairwise rotated BEV overlap area (N, M); pcdet BEV (.., 5) inputs.
 
-    Equivalent of `boxes_overlap_kernel` (`iou3d_nms_kernel.cu`).
+    Equivalent of `boxes_overlap_kernel` (`iou3d_nms_kernel.cu`). Computed in
+    row chunks via `lax.map` to bound peak memory.
     """
-    ca = box_corners_bev(boxes_a)[:, None]  # (N, 1, 4, 2)
-    cb = box_corners_bev(boxes_b)[None, :]  # (1, M, 4, 2)
-    ca, cb = jnp.broadcast_arrays(ca, cb)
-    return _convex_intersection_area(ca, cb)
+    ca = box_corners_bev(boxes_a)  # (N, 4, 2)
+    cb = box_corners_bev(boxes_b)  # (M, 4, 2)
+    n = ca.shape[0]
+    m = cb.shape[0]
+
+    if n <= _PAIRWISE_CHUNK:
+        a, b = jnp.broadcast_arrays(ca[:, None], cb[None, :])
+        return _convex_intersection_area(a, b)
+
+    nc = -(-n // _PAIRWISE_CHUNK)
+    pad = nc * _PAIRWISE_CHUNK - n
+    ca_p = jnp.pad(ca, ((0, pad), (0, 0), (0, 0)))
+    ca_chunks = ca_p.reshape(nc, _PAIRWISE_CHUNK, 4, 2)
+
+    def one_chunk(chunk):
+        a, b = jnp.broadcast_arrays(chunk[:, None], cb[None, :])
+        return _convex_intersection_area(a, b)
+
+    out = jax.lax.map(one_chunk, ca_chunks)  # (nc, chunk, M)
+    return out.reshape(nc * _PAIRWISE_CHUNK, m)[:n]
 
 
 @jax.jit

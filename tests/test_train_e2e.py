@@ -19,7 +19,7 @@ def test_train_one_epoch(tmp_path):
     cfg = Config.fromfile(CFG_PATH)
     cfg.work_dir = str(tmp_path / "work")
     dataset = build_dataset(cfg.data["train"])
-    assert len(dataset) == 4
+    assert len(dataset) == 8
 
     # pipeline output sanity
     example = dataset[0]
@@ -30,7 +30,7 @@ def test_train_one_epoch(tmp_path):
     trainer = train_detector(model, dataset, cfg)
 
     # loss moved and is finite
-    assert trainer.iter == 2  # 4 frames / batch 2
+    assert trainer.iter == 1  # 8 frames / batch 8
     losses = trainer.log_buffer.val_history["loss"]
     assert all(np.isfinite(l) for l in losses)
 
@@ -50,7 +50,7 @@ def Trainer_resume_roundtrip(cfg, model, dataset):
     from pillarnet_lts_tpu.solver import build_optimizer
 
     loader = build_dataloader(
-        dataset, batch_size=2, workers_per_gpu=1, shuffle=False,
+        dataset, batch_size=8, workers_per_gpu=1, shuffle=False,
         max_points=cfg.data["max_points"],
     )
     tx = build_optimizer(cfg.optimizer, cfg.lr_config, 10, 35.0)
