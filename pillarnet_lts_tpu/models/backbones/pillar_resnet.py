@@ -35,6 +35,21 @@ class _PillarResNetBase(nn.Module):
     stage_blocks: Tuple[int, int, int] = (2, 2, 2)  # conv2..conv4
     with_conv5: bool = False
 
+    @property
+    def backbone_channels(self):
+        c = self.in_channels
+        out = {"conv1": c, "conv2": c * 2, "conv3": c * 4, "conv4": c * 8}
+        if self.with_conv5:
+            out["conv5"] = c * 8
+        return out
+
+    @property
+    def backbone_strides(self):
+        out = {"conv1": 1, "conv2": 2, "conv3": 4, "conv4": 8}
+        if self.with_conv5:
+            out["conv5"] = 16
+        return out
+
     @nn.compact
     def __call__(self, grid, occ, train: bool = True) -> Dict[str, tuple]:
         c = self.in_channels

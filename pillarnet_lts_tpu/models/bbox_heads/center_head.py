@@ -15,6 +15,10 @@ Structural and numerical parity with the reference CenterHead
   indexing becomes fixed-size top-k + validity masks; outputs are padded to
   the NMS post_max sizes.
 
+Loss/predict are parameter-free math and live on the plain (non-linen)
+`CenterHeadMath` class so they can be invoked inside another module's apply
+without flax intercepting helper construction as submodule creation.
+
 Deviation (documented): the reference's circular-NMS path considers every
 candidate above the score threshold; here candidates are capped at
 `nms_pre_max_size` by top-score selection — beyond-cap candidates are far
@@ -80,19 +84,23 @@ class SepHead(nn.Module):
         return out
 
 
-@HEADS.register_module
-class CenterHead(nn.Module):
-    tasks: Sequence[dict]
-    in_channels: Sequence[int]
-    code_weights: Sequence[float]
-    common_heads: Dict[str, Tuple[int, int]]
-    share_channel: int = 64
-    reg_iou: Any = None
-    pillar_size: float = 0.1
-    point_cloud_range: Sequence[float] = (-75.2, -75.2, -2, 75.2, 75.2, 4)
-    dtype: Any = jnp.float32
+class CenterHeadMath:
+    """Parameter-free decode/loss/predict math for CenterHead outputs.
 
-    # ---- static derived config -------------------------------------------------
+    Plain python object — safe to construct and call anywhere, including
+    inside another flax module's apply.
+    """
+
+    def __init__(self, tasks, code_weights, common_heads, reg_iou,
+                 pillar_size, point_cloud_range):
+        self.tasks = [dict(t) for t in tasks]
+        self.code_weights = list(code_weights)
+        self.common_heads = dict(common_heads)
+        self.reg_iou = reg_iou
+        self.pillar_size = float(pillar_size)
+        self.point_cloud_range = list(point_cloud_range)
+
+    # ---- static derived config ------------------------------------------------
     @property
     def num_classes(self) -> List[int]:
         return [len(t["class_names"]) for t in self.tasks]
@@ -107,8 +115,7 @@ class CenterHead(nn.Module):
 
     @property
     def task_idx(self) -> List[int]:
-        """Map each task to its input-scale index: scales ordered by stride
-        descending (`center_head.py:75-79`)."""
+        """Scales ordered by stride descending (`center_head.py:75-79`)."""
         strides = sorted(set(self.task_strides), reverse=True)
         return [strides.index(s) for s in self.task_strides]
 
@@ -124,36 +131,7 @@ class CenterHead(nn.Module):
     def box_n_dim(self) -> int:
         return 9 if "vel" in self.common_heads else 7
 
-    # ---- forward ----------------------------------------------------------------
-    @nn.compact
-    def __call__(self, x: Tuple, train: bool = True):
-        assert len(x) == len(self.in_channels)
-        share_feats = []
-        for k in range(len(self.in_channels)):
-            y = nn.Conv(
-                self.share_channel, (3, 3), padding=((1, 1), (1, 1)),
-                use_bias=True, kernel_init=_KAIMING,
-                dtype=self.dtype, param_dtype=jnp.float32,
-                name=f"share_conv{k}",
-            )(x[k])
-            y = MaskedBatchNorm(
-                self.share_channel, dtype=self.dtype, name=f"share_bn{k}"
-            )(y, mask=None, train=train)
-            share_feats.append(nn.relu(y))
-
-        ret_dicts = []
-        for k, num_cls in enumerate(self.num_classes):
-            heads = dict(copy.deepcopy(dict(self.common_heads)))
-            heads["hm"] = (num_cls, 2)
-            ret_dicts.append(
-                SepHead(heads, dtype=self.dtype, name=f"task{k}")(
-                    share_feats[self.task_idx[k]], train
-                )
-            )
-        return ret_dicts
-
-    # ---- shared decode ----------------------------------------------------------
-    @nn.nowrap
+    # ---- shared decode --------------------------------------------------------
     def _decode_dense_boxes(self, preds_dict, task_id, with_vel):
         """reg/height/dim/rot maps -> metric (B, H, W, D) boxes
         (`center_head.py:171-189` / `:306-326`)."""
@@ -180,11 +158,9 @@ class CenterHead(nn.Module):
             )
         return jnp.concatenate([xs, ys, batch_hei, batch_dim, batch_rot], axis=-1)
 
-    # ---- loss ---------------------------------------------------------------
-    @nn.nowrap
+    # ---- loss -----------------------------------------------------------------
     def loss(self, example, preds_dicts, train_cfg):
-        """Training losses (`center_head.py:133-214`); pure function of preds
-        + targets, no parameters — callable outside `apply`."""
+        """Training losses (`center_head.py:133-214`)."""
         rets = []
         for task_id, preds_dict in enumerate(preds_dicts):
             hm = jnp.clip(jax.nn.sigmoid(preds_dict["hm"]), 1e-4, 1 - 1e-4)
@@ -224,7 +200,10 @@ class CenterHead(nn.Module):
             )
             loc_loss = (box_loss * code_weights[: box_loss.shape[0]]).sum()
 
-            loss = hm_loss * train_cfg["hm_weight"] + loc_loss * train_cfg["bbox_weight"]
+            loss = (
+                hm_loss * train_cfg["hm_weight"]
+                + loc_loss * train_cfg["bbox_weight"]
+            )
 
             ret = {
                 "hm_loss": hm_loss,
@@ -269,17 +248,13 @@ class CenterHead(nn.Module):
                 merged.setdefault(k, []).append(v)
         return merged
 
-    # ---- predict -------------------------------------------------------------
-    @nn.nowrap
+    # ---- predict ---------------------------------------------------------------
     def predict(self, example, preds_dicts, test_cfg):
         """Decode + on-device post-processing. Returns a dict of padded
         arrays: box3d_lidar (B, K, D), scores (B, K), label_preds (B, K),
         mask (B, K). K = sum of per-task post_max sizes."""
         if test_cfg.get("double_flip", False):
-            preds_dicts = [
-                _average_double_flip(pd) for pd in preds_dicts
-            ]
-            example = dict(example)
+            preds_dicts = [_average_double_flip(pd) for pd in preds_dicts]
 
         all_boxes, all_scores, all_labels, all_masks = [], [], [], []
         class_offset = 0
@@ -311,9 +286,9 @@ class CenterHead(nn.Module):
             "mask": jnp.concatenate(all_masks, axis=1),
         }
 
-    @nn.nowrap
     def _post_process_task(self, task_id, box_preds, hm, iou, test_cfg):
-        """(B,H,W,*) maps -> padded per-task detections (`center_head.py:352-413`)."""
+        """(B,H,W,*) maps -> padded per-task detections
+        (`center_head.py:352-413`)."""
         B, H, W, num_cls = hm.shape
         P = H * W
         boxes_flat = box_preds.reshape(B, P, -1)
@@ -349,7 +324,9 @@ class CenterHead(nn.Module):
 
         if nms_cfg.get("use_rotate_nms", False):
             rect = _task_param(test_cfg.get("rectifier", 0.0))
-            rect_scores = jnp.power(scores, 1.0 - rect) * jnp.power(iou_flat, rect)
+            rect_scores = jnp.power(scores, 1.0 - rect) * jnp.power(
+                iou_flat, rect
+            )
             pre_max = int(_task_param(nms_cfg["nms_pre_max_size"]))
             post_max = int(_task_param(nms_cfg["nms_post_max_size"]))
             thresh = _task_param(nms_cfg["nms_iou_threshold"])
@@ -389,6 +366,76 @@ class CenterHead(nn.Module):
             )
 
         raise NotImplementedError("no NMS mode selected in test_cfg")
+
+
+@HEADS.register_module
+class CenterHead(nn.Module):
+    tasks: Sequence[dict]
+    in_channels: Sequence[int]
+    code_weights: Sequence[float]
+    common_heads: Dict[str, Tuple[int, int]]
+    share_channel: int = 64
+    reg_iou: Any = None
+    pillar_size: float = 0.1
+    point_cloud_range: Sequence[float] = (-75.2, -75.2, -2, 75.2, 75.2, 4)
+    dtype: Any = jnp.float32
+
+    @nn.nowrap
+    def math(self) -> CenterHeadMath:
+        return CenterHeadMath(
+            self.tasks, self.code_weights, self.common_heads, self.reg_iou,
+            self.pillar_size, self.point_cloud_range,
+        )
+
+    @property
+    def num_classes(self) -> List[int]:
+        return [len(t["class_names"]) for t in self.tasks]
+
+    @property
+    def task_strides(self) -> List[int]:
+        return [int(t["stride"]) for t in self.tasks]
+
+    @property
+    def task_idx(self) -> List[int]:
+        strides = sorted(set(self.task_strides), reverse=True)
+        return [strides.index(s) for s in self.task_strides]
+
+    # ---- forward ---------------------------------------------------------------
+    @nn.compact
+    def __call__(self, x: Tuple, train: bool = True):
+        assert len(x) == len(self.in_channels)
+        share_feats = []
+        for k in range(len(self.in_channels)):
+            y = nn.Conv(
+                self.share_channel, (3, 3), padding=((1, 1), (1, 1)),
+                use_bias=True, kernel_init=_KAIMING,
+                dtype=self.dtype, param_dtype=jnp.float32,
+                name=f"share_conv{k}",
+            )(x[k])
+            y = MaskedBatchNorm(
+                self.share_channel, dtype=self.dtype, name=f"share_bn{k}"
+            )(y, mask=None, train=train)
+            share_feats.append(nn.relu(y))
+
+        ret_dicts = []
+        for k, num_cls in enumerate(self.num_classes):
+            heads = dict(copy.deepcopy(dict(self.common_heads)))
+            heads["hm"] = (num_cls, 2)
+            ret_dicts.append(
+                SepHead(heads, dtype=self.dtype, name=f"task{k}")(
+                    share_feats[self.task_idx[k]], train
+                )
+            )
+        return ret_dicts
+
+    # thin delegates for API parity with the reference class
+    @nn.nowrap
+    def loss(self, example, preds_dicts, train_cfg):
+        return self.math().loss(example, preds_dicts, train_cfg)
+
+    @nn.nowrap
+    def predict(self, example, preds_dicts, test_cfg):
+        return self.math().predict(example, preds_dicts, test_cfg)
 
 
 def _run_nms_batch(boxes, scores, labels, valid, order_scores,

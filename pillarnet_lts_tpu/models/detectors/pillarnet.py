@@ -40,8 +40,19 @@ class PillarNet(nn.Module):
     # ---- parameter-free helpers (plain python, not flax compute) -----------
     @nn.nowrap
     def get_head(self):
-        """Unbound CenterHead instance for loss/predict math outside apply()."""
-        return builder.build_head({**self.bbox_head, "dtype": self.dtype})
+        """Plain CenterHeadMath for loss/predict — constructible anywhere,
+        including inside another module's apply (no linen interception)."""
+        from ..bbox_heads.center_head import CenterHeadMath
+
+        cfg = dict(self.bbox_head)
+        return CenterHeadMath(
+            cfg["tasks"],
+            cfg["code_weights"],
+            cfg["common_heads"],
+            cfg.get("reg_iou"),
+            cfg.get("pillar_size", 0.1),
+            cfg.get("point_cloud_range", (-75.2, -75.2, -2, 75.2, 75.2, 4)),
+        )
 
     @nn.nowrap
     def get_num_classes(self):
@@ -77,7 +88,10 @@ class PillarNet(nn.Module):
         bev = self.neck_net(feats, train)
         return bev, feats
 
-    def __call__(self, points, points_mask, train: bool = True):
+    def __call__(self, points, points_mask, gt_boxes_and_cls=None,
+                 train: bool = True):
+        # gt_boxes_and_cls is accepted for signature parity with the
+        # two-stage detector; the single-stage forward does not use it.
         bev, _ = self.extract_feat(points, points_mask, train)
         return self.head_net(bev, train)
 

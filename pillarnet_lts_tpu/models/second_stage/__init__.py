@@ -1,0 +1,3 @@
+from .bev_feature import BEVStrideFeature, roi_grid_points
+
+__all__ = ["BEVStrideFeature", "roi_grid_points"]

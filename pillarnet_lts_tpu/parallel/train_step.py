@@ -13,15 +13,22 @@ import jax
 import jax.numpy as jnp
 
 
-def make_train_step(model, tx, train_cfg):
+def make_train_step(model, tx, train_cfg, rng_seed=0):
+    base_key = jax.random.PRNGKey(rng_seed)
+
     def train_step(state, batch):
+        step_key = jax.random.fold_in(base_key, state.step)
+        k_drop, k_samp = jax.random.split(step_key)
+
         def loss_fn(params):
             preds, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["points"],
                 batch["points_mask"],
+                gt_boxes_and_cls=batch.get("gt_boxes_and_cls"),
                 train=True,
                 mutable=["batch_stats"],
+                rngs={"dropout": k_drop, "sampler": k_samp},
             )
             losses = model.loss(batch, preds, train_cfg)
             total = jnp.asarray(0.0, jnp.float32)
@@ -36,6 +43,7 @@ def make_train_step(model, tx, train_cfg):
 
         metrics = {"loss": loss}
         for k in ("hm_loss", "loc_loss", "iou_loss", "reg_iou_loss",
+                  "roi_reg_loss", "roi_cls_loss", "point_loss",
                   "num_positive"):
             if k in losses:
                 for t, v in enumerate(losses[k]):
