@@ -33,7 +33,7 @@ def main():
     from __graft_entry__ import entry, _synth_points
     from pillarnet_lts_tpu.utils.config import Config
 
-    fn, (pts, mask) = entry()
+    fn, (variables, pts, mask) = entry()
     fn = jax.jit(fn)
 
     # a few distinct input clouds so no result caching can kick in
@@ -48,7 +48,7 @@ def main():
         clouds.append((jnp.asarray(p), jnp.asarray(m)))
 
     # warmup / compile
-    out = fn(*clouds[0])
+    out = fn(variables, *clouds[0])
     np.asarray(out["scores"])
 
     n_frames = 30
@@ -56,7 +56,7 @@ def main():
     for i in range(n_frames):
         p, m = clouds[i % len(clouds)]
         t0 = time.perf_counter()
-        out = fn(p, m)
+        out = fn(variables, p, m)
         _ = np.asarray(out["scores"])  # host copy-out = hard sync
         times.append(time.perf_counter() - t0)
 
