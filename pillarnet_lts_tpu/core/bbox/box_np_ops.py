@@ -135,13 +135,25 @@ def points_in_rbbox(points, rbbox, z_axis=2, origin=(0.5, 0.5, 0.5)):
 
     Implemented via the canonical-frame test (rotate points into each box's
     frame) instead of the reference's surface/normal numba kernel — identical
-    results for upright lidar boxes, fully vectorized.
+    results for upright lidar boxes, fully vectorized. Dispatches to the
+    native C++ kernel (csrc/pillar_pipeline.cpp) when built and the origin is
+    the default centered one.
     """
     points = np.asarray(points)
     rbbox = np.asarray(rbbox)
     if rbbox.shape[0] == 0:
         return np.zeros((points.shape[0], 0), dtype=bool)
     assert z_axis == 2, "only lidar (z-up) boxes supported"
+
+    if tuple(origin) == (0.5, 0.5, 0.5):
+        try:
+            from ...native import points_in_rbbox as _native_pir
+
+            out = _native_pir(points, rbbox)
+            if out is not None:
+                return out
+        except ImportError:
+            pass
     centers = rbbox[:, :3]
     dims = rbbox[:, 3:6]
     angles = rbbox[:, -1]
@@ -201,6 +213,15 @@ def box_collision_test(boxes, qboxes, clockwise=True):
     K = qboxes.shape[0]
     if N == 0 or K == 0:
         return np.zeros((N, K), dtype=bool)
+
+    try:
+        from ...native import box_collision_test as _native_bct
+
+        out = _native_bct(boxes, qboxes)
+        if out is not None:
+            return out
+    except ImportError:
+        pass
 
     # standup-box prefilter
     b_su = corner_to_standup_nd(boxes)
