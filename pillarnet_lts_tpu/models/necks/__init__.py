@@ -1,3 +1,3 @@
-from .rpn import RPNV1, RPNV2, RPNG, RPNGV2
+from .rpn import RPN, RPNV1, RPNV2, RPNG, RPNGV2
 
-__all__ = ["RPNV1", "RPNV2", "RPNG", "RPNGV2"]
+__all__ = ["RPN", "RPNV1", "RPNV2", "RPNG", "RPNGV2"]

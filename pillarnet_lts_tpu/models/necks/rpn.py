@@ -187,3 +187,65 @@ class RPNGV2(nn.Module):
         x3b = _Block(self.num_filters[1], self.layer_nums[1], dtype=self.dtype,
                      name="block_3")(x3b, train)
         return (x4b, x3b)
+
+
+@NECKS.register_module
+class RPN(nn.Module):
+    """Legacy generic multi-scale RPN (`det3d/models/necks/rpn.py:15-134`):
+    N downsample stages (stride + conv blocks), upsampled/concatenated
+    outputs. Kept for parity with the reference's retained legacy configs."""
+
+    layer_nums: Sequence[int]
+    ds_layer_strides: Sequence[int]
+    ds_num_filters: Sequence[int]
+    us_layer_strides: Sequence[int]
+    us_num_filters: Sequence[int]
+    in_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if isinstance(x, dict):
+            x = _feat(x[sorted(x.keys())[-1]])
+        elif isinstance(x, tuple) and not hasattr(x, "shape"):
+            x = _feat(x)
+
+        up_start = len(self.layer_nums) - len(self.us_layer_strides)
+        ups = []
+        for i, n_blocks in enumerate(self.layer_nums):
+            # strided entry conv + n_blocks convs
+            feats = self.ds_num_filters[i]
+            x = nn.Conv(
+                feats, (3, 3), strides=(self.ds_layer_strides[i],) * 2,
+                padding=((1, 1), (1, 1)), use_bias=False, kernel_init=_XAVIER,
+                dtype=self.dtype, param_dtype=jnp.float32,
+                name=f"block{i}_conv0",
+            )(x)
+            x = MaskedBatchNorm(feats, dtype=self.dtype,
+                                name=f"block{i}_bn0")(x, None, train)
+            x = nn.relu(x)
+            for j in range(n_blocks):
+                x = _ConvBNReLU(feats, dtype=self.dtype,
+                                name=f"block{i}_conv{j + 1}")(x, train)
+            if i - up_start >= 0:
+                k = i - up_start
+                stride = self.us_layer_strides[k]
+                uf = self.us_num_filters[k]
+                if stride > 1:
+                    y = nn.ConvTranspose(
+                        uf, (stride, stride), strides=(stride, stride),
+                        use_bias=False, kernel_init=_XAVIER, dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"deblock{k}",
+                    )(x)
+                else:
+                    y = nn.Conv(
+                        uf, (stride, stride), strides=(stride, stride),
+                        use_bias=False, kernel_init=_XAVIER, dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"deblock{k}",
+                    )(x)
+                y = MaskedBatchNorm(uf, dtype=self.dtype,
+                                    name=f"deblock{k}_bn")(y, None, train)
+                ups.append(nn.relu(y))
+        if ups:
+            x = jnp.concatenate(ups, axis=-1)
+        return (x,)

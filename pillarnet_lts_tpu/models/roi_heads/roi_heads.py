@@ -143,3 +143,94 @@ class RoIHead(nn.Module):
             final_init=_FINAL_REG, name="reg",
         )(x, train)
         return rcnn_cls, rcnn_reg
+
+
+class _LNMLP(nn.Module):
+    """Linear + LayerNorm + ReLU stack (RoIFFNHead branch layers)."""
+
+    channels: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for k, ch in enumerate(self.channels):
+            x = nn.Dense(ch, use_bias=True,
+                         kernel_init=nn.initializers.xavier_uniform(),
+                         dtype=self.dtype, param_dtype=jnp.float32,
+                         name=f"fc{k}")(x)
+            x = nn.LayerNorm(dtype=self.dtype, name=f"ln{k}")(x)
+            x = nn.relu(x)
+        return x
+
+
+@ROI_HEAD.register_module
+class RoIFFNHead(nn.Module):
+    """FFN-style refinement head (`det3d/models/roi_heads/roi_ffn_head.py:10-135`):
+    residual feed-forward block + LN, separate LN-MLP branches for cls / reg
+    (/ IoU), zero-initialized regression output, hm-style bias on cls."""
+
+    model_cfg: dict
+    num_cls_fcs: int = 1
+    num_reg_fcs: int = 1
+    num_iou_fcs: int = 1
+    feedforward_channels: int = 2048
+    content_dim: int = 256
+    num_ffn_fcs: int = 2
+    dropout: float = 0.0
+    num_class: int = 1
+    code_size: int = 7
+    test_cfg: Optional[dict] = None
+    init_bias: float = -2.19
+    add_box_param: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_features, rois=None, roi_scores=None,
+                 train: bool = True):
+        B, R = roi_features.shape[:2]
+        x = roi_features.reshape(B * R, -1)
+        if self.add_box_param:
+            x = jnp.concatenate(
+                [x, rois.reshape(B * R, -1),
+                 roi_scores.reshape(B * R, 1)], axis=-1,
+            )
+
+        # FFN (mmcv-style: num_ffn_fcs - 1 hidden expansions + residual)
+        y = x
+        for k in range(self.num_ffn_fcs - 1):
+            y = nn.Dense(self.feedforward_channels, dtype=self.dtype,
+                         param_dtype=jnp.float32, name=f"ffn_fc{k}")(y)
+            y = nn.relu(y)
+            if self.dropout > 0:
+                y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = nn.Dense(self.content_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="ffn_out")(y)
+        if x.shape[-1] == self.content_dim:
+            y = y + x
+        query = nn.LayerNorm(dtype=self.dtype, name="ffn_norm")(y)
+
+        cls_feat = _LNMLP((self.content_dim,) * self.num_cls_fcs,
+                          dtype=self.dtype, name="cls_fcs")(query)
+        reg_feat = _LNMLP((self.content_dim,) * self.num_reg_fcs,
+                          dtype=self.dtype, name="reg_fcs")(query)
+
+        rcnn_cls = nn.Dense(
+            self.num_class, bias_init=nn.initializers.constant(self.init_bias),
+            dtype=self.dtype, param_dtype=jnp.float32, name="fc_cls",
+        )(cls_feat)
+        rcnn_reg = nn.Dense(
+            self.code_size, kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros, dtype=self.dtype,
+            param_dtype=jnp.float32, name="fc_reg",
+        )(reg_feat)
+
+        if self.num_iou_fcs > 0:
+            iou_feat = _LNMLP((self.content_dim,) * self.num_iou_fcs,
+                              dtype=self.dtype, name="iou_fcs")(query)
+            rcnn_iou = nn.Dense(
+                1, kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros, dtype=self.dtype,
+                param_dtype=jnp.float32, name="fc_iou",
+            )(iou_feat)
+            return rcnn_cls, rcnn_reg, rcnn_iou
+        return rcnn_cls, rcnn_reg
