@@ -134,7 +134,11 @@ class CenterHeadMath:
     # ---- shared decode --------------------------------------------------------
     def _decode_dense_boxes(self, preds_dict, task_id, with_vel):
         """reg/height/dim/rot maps -> metric (B, H, W, D) boxes
-        (`center_head.py:171-189` / `:306-326`)."""
+        (`center_head.py:171-189` / `:306-326`). Decode math runs in fp32
+        regardless of the network compute dtype."""
+        preds_dict = {
+            k: v.astype(jnp.float32) for k, v in preds_dict.items()
+        }
         batch_dim = jnp.exp(jnp.clip(preds_dict["dim"], -1.2, 3.2))
         batch_rot = jnp.arctan2(
             preds_dict["rot"][..., 0:1], preds_dict["rot"][..., 1:2]
@@ -163,6 +167,9 @@ class CenterHeadMath:
         """Training losses (`center_head.py:133-214`)."""
         rets = []
         for task_id, preds_dict in enumerate(preds_dicts):
+            preds_dict = {
+                k: v.astype(jnp.float32) for k, v in preds_dict.items()
+            }
             hm = jnp.clip(jax.nn.sigmoid(preds_dict["hm"]), 1e-4, 1 - 1e-4)
             hm_loss = fast_focal_loss(
                 hm,
@@ -259,6 +266,9 @@ class CenterHeadMath:
         all_boxes, all_scores, all_labels, all_masks = [], [], [], []
         class_offset = 0
         for task_id, preds_dict in enumerate(preds_dicts):
+            preds_dict = {
+                k: v.astype(jnp.float32) for k, v in preds_dict.items()
+            }
             with_vel = "vel" in preds_dict
             batch_hm = jax.nn.sigmoid(preds_dict["hm"])
             box_preds = self._decode_dense_boxes(preds_dict, task_id, with_vel)

@@ -19,6 +19,13 @@ from .registry import (
 
 _NON_MODULE_KEYS = ("logger",)
 
+_DTYPE_MAP = {
+    "float32": "float32",
+    "fp32": "float32",
+    "bfloat16": "bfloat16",
+    "bf16": "bfloat16",
+}
+
 
 def _clean(cfg):
     if cfg is None:
@@ -26,6 +33,11 @@ def _clean(cfg):
     cfg = dict(cfg)
     for k in _NON_MODULE_KEYS:
         cfg.pop(k, None)
+    # configs specify compute dtype as a string; modules expect a jnp dtype
+    if isinstance(cfg.get("dtype"), str):
+        import jax.numpy as jnp
+
+        cfg["dtype"] = jnp.dtype(_DTYPE_MAP[cfg["dtype"]]).type
     return cfg
 
 

@@ -55,6 +55,37 @@ def one_cycle_schedules(total_steps, lr_max, moms, div_factor, pct_start):
     return lr_fn, mom_fn
 
 
+def exponential_decay_schedule(total_steps, init_lr, decay_length,
+                               decay_factor, staircase=True):
+    """`ExponentialDecay` (`learning_schedules_fastai.py:98-129`);
+    decay_length is a fraction of total_steps."""
+    decay_steps = max(int(decay_length * total_steps), 1)
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        p = step / decay_steps
+        if staircase:
+            p = jnp.floor(p)
+        return init_lr * jnp.power(decay_factor, p)
+
+    return fn
+
+
+def manual_stepping_schedule(total_steps, boundaries, rates):
+    """`ManualStepping` (`learning_schedules_fastai.py:132-141`);
+    boundaries are fractions in (0, 1)."""
+    assert len(boundaries) + 1 == len(rates)
+    bounds = jnp.asarray([b * total_steps for b in boundaries])
+    rates_arr = jnp.asarray(rates, jnp.float32)
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        idx = (step >= bounds).sum()
+        return rates_arr[idx]
+
+    return fn
+
+
 def build_optimizer(cfg, lr_config, total_steps, grad_clip_norm=None):
     """Build the training gradient transformation from reference-style config.
 
@@ -67,7 +98,8 @@ def build_optimizer(cfg, lr_config, total_steps, grad_clip_norm=None):
         raise NotImplementedError(f"optimizer type {opt_type}")
     wd = cfg.get("wd", 0.01)
 
-    if lr_config.get("type") == "one_cycle":
+    sched_type = lr_config.get("type")
+    if sched_type == "one_cycle":
         lr_fn, mom_fn = one_cycle_schedules(
             total_steps,
             lr_config["lr_max"],
@@ -75,8 +107,22 @@ def build_optimizer(cfg, lr_config, total_steps, grad_clip_norm=None):
             lr_config["div_factor"],
             lr_config["pct_start"],
         )
+    elif sched_type == "exp_decay":
+        lr_fn = exponential_decay_schedule(
+            total_steps,
+            lr_config["init_lr"],
+            lr_config["decay_length"],
+            lr_config["decay_factor"],
+            staircase=lr_config.get("staircase", True),
+        )
+        mom_fn = 0.9
+    elif sched_type == "manual_stepping":
+        lr_fn = manual_stepping_schedule(
+            total_steps, list(lr_config["boundaries"]), list(lr_config["rates"])
+        )
+        mom_fn = 0.9
     else:
-        raise NotImplementedError(f"lr schedule {lr_config.get('type')}")
+        raise NotImplementedError(f"lr schedule {sched_type}")
 
     opt = optax.inject_hyperparams(optax.adamw)(
         learning_rate=lr_fn, b1=mom_fn, b2=0.99, weight_decay=wd
