@@ -140,6 +140,42 @@ class Trainer:
         self.call_hook("after_train_epoch")
         self.epoch += 1
 
+    def val(self, data_loader, dataset, output_dir=None):
+        """Validation loop (`trainer.py:438-494`): run inference over the val
+        loader, gather per-sample detections, call dataset.evaluation."""
+        import jax.numpy as jnp
+
+        from ..eval_utils import detections_to_host
+
+        model = self.model
+
+        @jax.jit
+        def infer(params, batch_stats, points, points_mask):
+            preds = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                points, points_mask, train=False,
+            )
+            return model.predict({}, preds, model.processed_test_cfg())
+
+        detections = {}
+        for i, batch in enumerate(data_loader):
+            det = infer(
+                self.state.params, self.state.batch_stats,
+                jnp.asarray(batch["points"]), jnp.asarray(batch["points_mask"]),
+            )
+            for sample in detections_to_host(det, batch["metadata"]):
+                detections[sample["metadata"]["token"]] = sample
+            if i % 50 == 0:
+                self.logger.info("val batch %d/%d", i, len(data_loader))
+
+        out_dir = output_dir or os.path.join(self.work_dir, "eval")
+        os.makedirs(out_dir, exist_ok=True)
+        result, _ = dataset.evaluation(detections, output_dir=out_dir)
+        if result is not None:
+            for k, v in result.get("results", {}).items():
+                self.logger.info("Evaluation %s: %s", k, v)
+        return detections
+
     def run(self, data_loader, max_epochs):
         self.max_epochs = max_epochs
         self.max_iters = max_epochs * len(data_loader)
