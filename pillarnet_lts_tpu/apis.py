@@ -38,7 +38,11 @@ def train_detector(model, dataset, cfg, logger=None, resume_from=None):
     grad_clip = None
     if cfg.get("optimizer_config") and cfg.optimizer_config.get("grad_clip"):
         grad_clip = cfg.optimizer_config["grad_clip"]["max_norm"]
-    tx = build_optimizer(cfg.optimizer, cfg.lr_config, total_steps, grad_clip)
+    frozen = ()
+    if cfg.model.get("type") == "PillarRCNN" and cfg.model.get("freeze"):
+        frozen = ("single_det",)
+    tx = build_optimizer(cfg.optimizer, cfg.lr_config, total_steps, grad_clip,
+                         frozen_prefixes=frozen)
 
     trainer = Trainer(
         model,

@@ -86,12 +86,17 @@ def manual_stepping_schedule(total_steps, boundaries, rates):
     return fn
 
 
-def build_optimizer(cfg, lr_config, total_steps, grad_clip_norm=None):
+def build_optimizer(cfg, lr_config, total_steps, grad_clip_norm=None,
+                    frozen_prefixes=()):
     """Build the training gradient transformation from reference-style config.
 
     cfg: e.g. dict(type='adam', amsgrad=0.0, wd=0.01, fixed_wd=True)
     lr_config: dict(type='one_cycle', lr_max=..., moms=[...], div_factor=...,
                     pct_start=...)
+    frozen_prefixes: top-level param-tree keys to exclude from updates — the
+    optimizer-side half of the reference's stage-1 freeze
+    (`pillar_rcnn.py:20-23` + FrozenBatchNorm; forward-side stop_gradient
+    lives in the detector).
     """
     opt_type = cfg.get("type", "adam").lower()
     if opt_type != "adam":
@@ -132,4 +137,17 @@ def build_optimizer(cfg, lr_config, total_steps, grad_clip_norm=None):
     if grad_clip_norm is not None:
         transforms.append(optax.clip_by_global_norm(grad_clip_norm))
     transforms.append(opt)
-    return optax.chain(*transforms)
+    tx = optax.chain(*transforms)
+
+    if frozen_prefixes:
+        frozen = set(frozen_prefixes)
+
+        def label_tree(params):
+            return {
+                k: ("frozen" if k in frozen else "train") for k in params
+            }
+
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label_tree
+        )
+    return tx
