@@ -1,17 +1,45 @@
-"""Pillar scatter-max dispatch: jnp (XLA scatter) today, Pallas kernel hook.
+"""Pillar scatter-max dispatch: Pallas tile kernel on TPU, XLA scatter
+elsewhere.
 
 Single entry point so the reader doesn't care which backend implements the
 segment max (reference equivalent: `scatter_max`,
 `det3d/ops/pillar_ops/scatter_utils.py:37` + `src/scatter_ops_gpu.cu:13-45`).
+
+Backend selection: 'auto' uses the Pallas kernel on TPU backends and the
+XLA scatter on CPU/interpret; override with
+`pillarnet_lts_tpu.ops.scatter.set_backend('xla'|'pallas')`.
 """
+
+import jax
 
 from .voxelize import scatter_max_to_grid
 
-_BACKEND = "xla"
+_BACKEND = "auto"
+
+
+def set_backend(name):
+    global _BACKEND
+    assert name in ("auto", "xla", "pallas")
+    _BACKEND = name
+
+
+def _resolve():
+    if _BACKEND != "auto":
+        return _BACKEND
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        return "xla"
+    return "pallas" if platform not in ("cpu",) else "xla"
 
 
 def pillar_scatter_max(point_feats, flat_ids, valid, height, width):
     """(B, N, C) features + (B, N) pillar ids -> (B, H, W, C) grid, (B, H, W) occ."""
-    if _BACKEND == "xla":
-        return scatter_max_to_grid(point_feats, flat_ids, valid, height, width)
-    raise NotImplementedError(_BACKEND)
+    backend = _resolve()
+    if backend == "pallas":
+        from .pallas.voxelize_kernel import pillar_scatter_max_pallas
+
+        return pillar_scatter_max_pallas(
+            point_feats, flat_ids, valid, height, width
+        )
+    return scatter_max_to_grid(point_feats, flat_ids, valid, height, width)

@@ -1,0 +1,39 @@
+"""Pallas voxelizer kernel vs the XLA segment-max reference (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.experimental.pallas import tpu as pltpu
+
+from pillarnet_lts_tpu.ops.voxelize import scatter_max_to_grid
+from pillarnet_lts_tpu.ops.pallas.voxelize_kernel import (
+    pillar_scatter_max_pallas,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_scatter_matches_xla(seed):
+    rng = np.random.RandomState(seed)
+    B, N, C = 2, 600, 8
+    H, W = 16, 16
+    feats = rng.randn(B, N, C).astype(np.float32)
+    ids = rng.randint(0, H * W, (B, N)).astype(np.int32)
+    valid = rng.rand(B, N) > 0.3
+    ids_s = np.where(valid, ids, H * W).astype(np.int32)
+
+    want_grid, want_occ = scatter_max_to_grid(
+        jnp.array(feats), jnp.array(ids_s), jnp.array(valid), H, W
+    )
+
+    with pltpu.force_tpu_interpret_mode():
+        got_grid, got_occ = pillar_scatter_max_pallas(
+            jnp.array(feats), jnp.array(ids_s), jnp.array(valid), H, W,
+            tile_rows=4,
+        )
+
+    np.testing.assert_array_equal(np.asarray(got_occ), np.asarray(want_occ))
+    np.testing.assert_allclose(
+        np.asarray(got_grid), np.asarray(want_grid), atol=1e-6
+    )
