@@ -1,0 +1,176 @@
+"""Single-process TPU stage profiler.
+
+Times each pipeline stage of the flagship model with device-side scalar
+reduction of outputs (4-byte host transfers force completion without
+dragging activations through the relay). One TPU process, run to completion
+— never kill it mid-run (stale claims wedge the chip).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--config", default="configs/pillarnet/pillarnet34_nusc.py"
+    )
+    parser.add_argument("--iters", type=int, default=4)
+    parser.add_argument("--scatter", default="auto",
+                        choices=["auto", "xla", "pallas"])
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synth_points
+    from pillarnet_lts_tpu.apis import build_model_from_cfg
+    from pillarnet_lts_tpu.ops import scatter as scatter_mod
+    from pillarnet_lts_tpu.ops.voxelize import PillarSpec, voxelize_points
+    from pillarnet_lts_tpu.utils.config import Config
+
+    scatter_mod.set_backend(args.scatter)
+
+    cfg = Config.fromfile(args.config)
+    model = build_model_from_cfg(cfg)
+    pts, mask = _synth_points(1, cfg.data["max_points"], cfg.point_cloud_range)
+    pts, mask = jnp.asarray(pts), jnp.asarray(mask)
+
+    t0 = time.perf_counter()
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), pts, mask, train=False
+    )
+    jax.block_until_ready(variables)
+    print(f"[init] {time.perf_counter() - t0:.1f}s", flush=True)
+    test_cfg = model.processed_test_cfg()
+
+    def timeit(name, fn, *fargs):
+        t0 = time.perf_counter()
+        s = float(np.asarray(fn(*fargs)))  # scalar out -> hard sync
+        print(f"[compile+first] {name}: {time.perf_counter() - t0:.1f}s "
+              f"(checksum {s:.3e})", flush=True)
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            float(np.asarray(fn(*fargs)))
+            times.append(time.perf_counter() - t0)
+        print(f"[steady] {name}: {np.mean(times) * 1000:.1f} ms", flush=True)
+
+    reader_cfg = cfg.model["reader"]
+    spec = PillarSpec(
+        float(reader_cfg["pillar_size"]), tuple(reader_cfg["pc_range"])
+    )
+
+    @jax.jit
+    def voxelize_only(p, m):
+        feats, ids, ok = voxelize_points(p, m, spec)
+        return feats.sum() + ids.sum() + ok.sum()
+
+    timeit("voxelize (ids+feats)", voxelize_only, pts, mask)
+
+    @jax.jit
+    def reader_fn(v, p, m):
+        g, o = model.apply(
+            v, p, m, False,
+            method=lambda mdl, p_, m_, tr: mdl.reader_net(p_, m_, tr),
+        )
+        return g.sum() + o.sum()
+
+    timeit("reader (PFE+scatter)", reader_fn, variables, pts, mask)
+
+    @jax.jit
+    def backbone_fn(v, p, m):
+        def m_(mdl, p_, m_2, tr):
+            g, o = mdl.reader_net(p_, m_2, tr)
+            f = mdl.backbone_net(g, o, tr)
+            return f["conv5"][0].sum() + f["conv4"][0].sum()
+        return model.apply(v, p, m, False, method=m_)
+
+    timeit("reader+backbone", backbone_fn, variables, pts, mask)
+
+    @jax.jit
+    def head_fn(v, p, m):
+        preds = model.apply(v, p, m, train=False)
+        return sum(x.sum() for pd in preds for x in pd.values())
+
+    timeit("reader+backbone+neck+head", head_fn, variables, pts, mask)
+
+    @jax.jit
+    def full_fn(v, p, m):
+        preds = model.apply(v, p, m, train=False)
+        det = model.predict({}, preds, test_cfg)
+        return det["scores"].sum() + det["box3d_lidar"].sum()
+
+    timeit("full (incl. decode+NMS)", full_fn, variables, pts, mask)
+
+
+if __name__ == "__main__":
+    main()
+
+
+def profile_predict_parts(args=None):
+    """Bisect predict: decode / topk / IoU matrix / greedy NMS."""
+    import jax
+    import jax.numpy as jnp
+
+    from pillarnet_lts_tpu.ops.iou3d import rotated_iou_bev, to_pcdet_bev
+    from pillarnet_lts_tpu.ops.nms import _greedy_suppress, rotated_nms
+
+    rng = np.random.RandomState(0)
+    K = 1000
+    boxes = np.zeros((K, 9), np.float32)
+    boxes[:, 0:2] = rng.uniform(-50, 50, (K, 2))
+    boxes[:, 3:6] = rng.uniform(1, 4, (K, 3))
+    boxes[:, 8] = rng.uniform(-3, 3, K)
+    boxes_j = jnp.asarray(boxes)
+    scores_j = jnp.asarray(rng.rand(K).astype(np.float32))
+    valid_j = jnp.ones(K, bool)
+
+    def timeit2(name, fn, *fargs, iters=4):
+        t0 = time.perf_counter()
+        float(np.asarray(fn(*fargs)))
+        print(f"[compile+first] {name}: {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(np.asarray(fn(*fargs)))
+            times.append(time.perf_counter() - t0)
+        print(f"[steady] {name}: {np.mean(times) * 1000:.1f} ms", flush=True)
+
+    @jax.jit
+    def iou_fn(b):
+        bev = to_pcdet_bev(b)
+        return rotated_iou_bev(bev, bev).sum()
+
+    timeit2("rotated IoU 1000x1000", iou_fn, boxes_j)
+
+    @jax.jit
+    def nms_fn(b, s, v):
+        idx, m = rotated_nms(b, s, v, 0.2, 83)
+        return idx.sum() + m.sum()
+
+    timeit2("rotated NMS (IoU + greedy + select)", nms_fn, boxes_j,
+            scores_j, valid_j)
+
+    @jax.jit
+    def greedy_fn(iou, v):
+        return _greedy_suppress(iou, v, 0.2).sum()
+
+    iou_mat = jax.jit(lambda b: rotated_iou_bev(to_pcdet_bev(b),
+                                                to_pcdet_bev(b)))(boxes_j)
+    timeit2("greedy fixpoint only", greedy_fn, iou_mat, valid_j)
+
+    @jax.jit
+    def topk_fn(x):
+        v, i = jax.lax.top_k(x, 1000)
+        return v.sum() + i.sum()
+
+    big = jnp.asarray(rng.rand(6, 32400).astype(np.float32))
+    timeit2("top_k 1000 of 32400 x6", topk_fn, big)
