@@ -263,7 +263,13 @@ class CenterHeadMath:
         if test_cfg.get("double_flip", False):
             preds_dicts = [_average_double_flip(pd) for pd in preds_dicts]
 
-        all_boxes, all_scores, all_labels, all_masks = [], [], [], []
+        # Per-task decode + candidate masking, then tasks with identical
+        # static NMS parameters run through ONE batched NMS graph (tasks
+        # stacked into the vmap batch). nuScenes' 6 same-stride tasks share
+        # a single graph instead of 6 clones — 6x smaller HLO, batched MXU
+        # work in the IoU matrix.
+        task_inputs = []  # (task_id, group_key, tensors)
+        class_offsets = []
         class_offset = 0
         for task_id, preds_dict in enumerate(preds_dicts):
             preds_dict = {
@@ -280,14 +286,18 @@ class CenterHeadMath:
             else:
                 batch_iou = jnp.ones(batch_hm.shape[:3], batch_hm.dtype)
 
-            boxes, scores, labels, mask = self._post_process_task(
-                task_id, box_preds, batch_hm, batch_iou, test_cfg
-            )
+            task_inputs.append((task_id, box_preds, batch_hm, batch_iou))
+            class_offsets.append(class_offset)
+            class_offset += self.num_classes[task_id]
+
+        results = self._post_process_grouped(task_inputs, test_cfg)
+
+        all_boxes, all_scores, all_labels, all_masks = [], [], [], []
+        for task_id, (boxes, scores, labels, mask) in enumerate(results):
             all_boxes.append(boxes)
             all_scores.append(scores)
-            all_labels.append(labels + class_offset)
+            all_labels.append(labels + class_offsets[task_id])
             all_masks.append(mask)
-            class_offset += self.num_classes[task_id]
 
         return {
             "box3d_lidar": jnp.concatenate(all_boxes, axis=1),
@@ -295,6 +305,109 @@ class CenterHeadMath:
             "label_preds": jnp.concatenate(all_labels, axis=1),
             "mask": jnp.concatenate(all_masks, axis=1),
         }
+
+    def _post_process_grouped(self, task_inputs, test_cfg):
+        """Group tasks by identical static NMS parameters and run each group
+        through one batched post-processing graph."""
+        nms_cfg = test_cfg["nms"]
+
+        def task_key(task_id, box_preds, hm):
+            def p(x):
+                v = x[task_id] if isinstance(x, (list, tuple)) else x
+                return tuple(v) if isinstance(v, list) else v
+
+            if test_cfg.get("circular_nms", False) or nms_cfg.get(
+                "use_rotate_nms", False
+            ):
+                return (
+                    hm.shape[1:3], box_preds.shape[-1],
+                    p(nms_cfg["nms_pre_max_size"]),
+                    p(nms_cfg["nms_post_max_size"]),
+                    p(nms_cfg.get("nms_iou_threshold", 0.0)),
+                    p(test_cfg.get("rectifier", 0.0)),
+                    p(test_cfg.get("min_radius", 0.0)),
+                )
+            return ("solo", task_id)
+
+        groups = {}
+        for task_id, box_preds, hm, iou in task_inputs:
+            key = task_key(task_id, box_preds, hm)
+            groups.setdefault(key, []).append((task_id, box_preds, hm, iou))
+
+        results = [None] * len(task_inputs)
+        for key, members in groups.items():
+            if len(members) == 1 or key[0] == "solo":
+                for task_id, box_preds, hm, iou in members:
+                    results[task_id] = self._post_process_task(
+                        task_id, box_preds, hm, iou, test_cfg
+                    )
+                continue
+
+            # stack tasks into the vmap batch: labels/hm channel counts can
+            # differ, so scores/labels are computed per task first
+            B = members[0][2].shape[0]
+            box_dim = members[0][1].shape[-1]
+            sc_list, lb_list, bx_list, io_list = [], [], [], []
+            for task_id, box_preds, hm, iou in members:
+                P = hm.shape[1] * hm.shape[2]
+                hm_flat = hm.reshape(B, P, -1)
+                sc_list.append(hm_flat.max(axis=-1))
+                lb_list.append(hm_flat.argmax(axis=-1))
+                bx_list.append(box_preds.reshape(B, P, box_dim))
+                io_list.append(iou.reshape(B, P))
+            boxes = jnp.concatenate(bx_list, axis=0)  # (T*B, P, D)
+            scores = jnp.concatenate(sc_list, axis=0)
+            labels = jnp.concatenate(lb_list, axis=0)
+            ious = jnp.concatenate(io_list, axis=0)
+
+            out = self._run_single_nms_mode(
+                members[0][0], boxes, scores, labels, ious, test_cfg
+            )
+            T = len(members)
+            for i, (task_id, *_rest) in enumerate(members):
+                results[task_id] = tuple(
+                    o[i * B:(i + 1) * B] for o in out
+                )
+        return results
+
+    def _run_single_nms_mode(self, task_id, boxes_flat, scores, labels,
+                             iou_flat, test_cfg):
+        """Shared candidate filtering + NMS on pre-flattened (B', P, *) maps."""
+        nms_cfg = test_cfg["nms"]
+
+        def _task_param(p):
+            return p[task_id] if isinstance(p, (list, tuple)) else p
+
+        pcr = jnp.asarray(test_cfg["post_center_limit_range"],
+                          boxes_flat.dtype)
+        dist_ok = (
+            (boxes_flat[..., :3] >= pcr[:3]).all(-1)
+            & (boxes_flat[..., :3] <= pcr[3:]).all(-1)
+        )
+        valid = (scores > test_cfg["score_threshold"]) & dist_ok
+
+        if test_cfg.get("circular_nms", False):
+            pre_max = int(_task_param(nms_cfg["nms_pre_max_size"]))
+            post_max = int(_task_param(nms_cfg["nms_post_max_size"]))
+            min_radius = _task_param(test_cfg["min_radius"])
+            return _run_nms_batch(
+                boxes_flat, scores, labels, valid, scores,
+                pre_max, post_max,
+                lambda bx, sc, vd: circle_nms(
+                    bx[:, :2], vd, min_radius, post_max
+                ),
+            )
+
+        rect = _task_param(test_cfg.get("rectifier", 0.0))
+        rect_scores = jnp.power(scores, 1.0 - rect) * jnp.power(iou_flat, rect)
+        pre_max = int(_task_param(nms_cfg["nms_pre_max_size"]))
+        post_max = int(_task_param(nms_cfg["nms_post_max_size"]))
+        thresh = _task_param(nms_cfg["nms_iou_threshold"])
+        return _run_nms_batch(
+            boxes_flat, scores, labels, valid, rect_scores,
+            pre_max, post_max,
+            lambda bx, sc, vd: rotated_nms(bx, sc, vd, thresh, post_max),
+        )
 
     def _post_process_task(self, task_id, box_preds, hm, iou, test_cfg):
         """(B,H,W,*) maps -> padded per-task detections

@@ -1,5 +1,11 @@
 from .log_buffer import LogBuffer
-from .hooks import Hook, TextLoggerHook, CheckpointHook, IterTimerHook
+from .hooks import (
+    Hook,
+    TextLoggerHook,
+    TensorboardLoggerHook,
+    CheckpointHook,
+    IterTimerHook,
+)
 from .checkpoint import save_checkpoint, load_checkpoint, latest_checkpoint
 from .trainer import Trainer
 
@@ -7,6 +13,7 @@ __all__ = [
     "LogBuffer",
     "Hook",
     "TextLoggerHook",
+    "TensorboardLoggerHook",
     "CheckpointHook",
     "IterTimerHook",
     "save_checkpoint",

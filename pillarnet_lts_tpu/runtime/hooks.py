@@ -46,11 +46,19 @@ class IterTimerHook(Hook):
 
 
 class TextLoggerHook(Hook):
-    """Console + json-lines logging (`hooks/logger/text.py:12-110`)."""
+    """Console + json-lines logging (`hooks/logger/text.py:12-110`):
+    averaged metrics printed at `interval` and appended to
+    `{work_dir}/log.json` one record per log event."""
 
     def __init__(self, interval=10, logger=None):
         self.interval = interval
         self.logger = logger or logging.getLogger("trainer")
+        self._json_path = None
+
+    def before_run(self, trainer):
+        import os
+
+        self._json_path = os.path.join(trainer.work_dir, "log.json")
 
     def after_train_iter(self, trainer):
         if (trainer.inner_iter + 1) % self.interval != 0:
@@ -75,7 +83,51 @@ class TextLoggerHook(Hook):
             eta,
             parts,
         )
+        if self._json_path is not None:
+            import json
+
+            record = dict(out)
+            record.update(
+                epoch=trainer.epoch + 1, iter=trainer.iter, mode="train"
+            )
+            with open(self._json_path, "a") as f:
+                f.write(json.dumps(record) + "\n")
         trainer.log_buffer.clear_output()
+
+
+class TensorboardLoggerHook(Hook):
+    """Scalar logging to TensorBoard (`hooks/logger/tensorboard.py:9`),
+    via flax's SummaryWriter; no-op if tensorboard isn't installed."""
+
+    def __init__(self, log_dir=None, interval=10):
+        self.log_dir = log_dir
+        self.interval = interval
+        self.writer = None
+
+    def before_run(self, trainer):
+        import os
+
+        try:
+            from flax.metrics import tensorboard
+
+            self.writer = tensorboard.SummaryWriter(
+                self.log_dir or os.path.join(trainer.work_dir, "tf_logs")
+            )
+        except Exception:
+            self.writer = None
+
+    def after_train_iter(self, trainer):
+        if self.writer is None:
+            return
+        if (trainer.inner_iter + 1) % self.interval != 0:
+            return
+        trainer.log_buffer.average(self.interval)
+        for k, v in trainer.log_buffer.output.items():
+            self.writer.scalar(f"train/{k}", v, trainer.iter)
+
+    def after_run(self, trainer):
+        if self.writer is not None:
+            self.writer.flush()
 
 
 class CheckpointHook(Hook):
