@@ -102,30 +102,51 @@ def _bitonic_sort_by_key(keys, vals):
 
     A fixed compare-exchange network (bitonic) instead of `jnp.argsort`:
     XLA's generic variadic sort over millions of tiny 32-wide rows lowers
-    poorly on TPU (and sequential launches are expensive on remote
-    backends); the network is ~15 stages of static gathers + selects, all
-    fused into one program.
+    poorly on TPU. Each stage is expressed with reshapes + slices + selects
+    only (a stride-j exchange pairs element (b, 0, t) with (b, 1, t) in the
+    (..., n/2j, 2, j) view) — no gather ops, so it compiles to plain
+    vector selects.
     """
     import numpy as np
 
     n = keys.shape[-1]
     assert (n & (n - 1)) == 0, "length must be a power of two"
     idx = np.arange(n)
+
+    def stage(keys, vals, k, j):
+        lead = keys.shape[:-1]
+        view = lead + (n // (2 * j), 2, j)
+        # ascending flag of the LOW slot of each pair
+        asc_np = ((idx & k) == 0).reshape(n // (2 * j), 2, j)[:, 0, :]
+        asc = jnp.asarray(asc_np)
+
+        kv = keys.reshape(view)
+        k_lo, k_hi = kv[..., 0, :], kv[..., 1, :]
+        lo_first = k_lo <= k_hi
+        take_lo = jnp.where(asc, lo_first, jnp.logical_not(lo_first))
+
+        new_k_lo = jnp.where(take_lo, k_lo, k_hi)
+        new_k_hi = jnp.where(take_lo, k_hi, k_lo)
+        keys = jnp.stack([new_k_lo, new_k_hi], axis=-2).reshape(
+            lead + (n,)
+        )
+
+        new_vals = []
+        for v in vals:
+            vv = v.reshape(view)
+            v_lo, v_hi = vv[..., 0, :], vv[..., 1, :]
+            nv_lo = jnp.where(take_lo, v_lo, v_hi)
+            nv_hi = jnp.where(take_lo, v_hi, v_lo)
+            new_vals.append(
+                jnp.stack([nv_lo, nv_hi], axis=-2).reshape(lead + (n,))
+            )
+        return keys, new_vals
+
     k = 2
     while k <= n:
         j = k // 2
         while j >= 1:
-            partner = idx ^ j
-            up = (idx & k) == 0
-            is_lower = idx < partner
-            keep_small = jnp.asarray(is_lower == up)
-
-            keys_p = keys[..., partner]
-            self_first = jnp.where(keep_small, keys <= keys_p, keys >= keys_p)
-            keys = jnp.where(self_first, keys, keys_p)
-            vals = [
-                jnp.where(self_first, v, v[..., partner]) for v in vals
-            ]
+            keys, vals = stage(keys, vals, k, j)
             j //= 2
         k *= 2
     return keys, vals
