@@ -69,3 +69,42 @@ def get_obj_anno(info):
         "scene_name": info.get("scene_name", info["token"].split("_frame_")[0]),
         "frame_name": info.get("frame_name", info["token"]),
     }
+
+
+def _create_gt_detection(infos, result_path, tracking=False):
+    """Ground-truth bin for the Waymo metrics tool
+    (`det3d/datasets/waymo/waymo_common.py` gt path): converts info gt boxes
+    back to Waymo convention and serializes metrics_pb2.Objects."""
+    objects = metrics_pb2.Objects()
+    type_by_name = {"VEHICLE": 1, "PEDESTRIAN": 2, "CYCLIST": 4}
+
+    for info in infos:
+        obj = get_obj_anno(info)
+        names = info.get("gt_names", [])
+        boxes = np.asarray(info.get("gt_boxes", np.zeros((0, 9))))
+        if boxes.shape[0]:
+            boxes = boxes.copy()
+            # det3d -> Waymo: undo yaw' = -pi/2 - yaw and the l/w swap
+            boxes[:, -1] = -np.pi / 2 - boxes[:, -1]
+            boxes[:, [3, 4]] = boxes[:, [4, 3]]
+        for i in range(boxes.shape[0]):
+            o = metrics_pb2.Object()
+            o.context_name = obj["scene_name"]
+            o.frame_timestamp_micros = int(obj["frame_name"].split("_")[-1])
+            box = label_pb2.Label.Box()
+            box.center_x = boxes[i, 0]
+            box.center_y = boxes[i, 1]
+            box.center_z = boxes[i, 2]
+            box.length = boxes[i, 3]
+            box.width = boxes[i, 4]
+            box.height = boxes[i, 5]
+            box.heading = boxes[i, -1]
+            o.object.box.CopyFrom(box)
+            o.score = 1.0
+            o.object.type = type_by_name.get(str(names[i]), 0)
+            objects.objects.append(o)
+
+    path = os.path.join(result_path, "gt.bin")
+    with open(path, "wb") as f:
+        f.write(objects.SerializeToString())
+    return path
