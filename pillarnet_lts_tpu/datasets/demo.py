@@ -91,6 +91,28 @@ class DemoDataset(PointCloudDataset):
         points = np.concatenate([bg] + obj_points, axis=0)
         return points, boxes, names
 
+    def evaluation(self, detections, output_dir=None, testset=False):
+        """Data-free accuracy signal: center-distance mAP against the
+        synthetic ground truth (nuScenes-style matching thresholds)."""
+        from .eval_metric import center_distance_map
+
+        gts = {}
+        for i in range(self.num_frames):
+            _, boxes, names = self._synth_frame(i)
+            labels = np.array(
+                [self.class_names.index(n) for n in names], np.int64
+            )
+            gts[self._metadata[i]["token"]] = {
+                "box3d_lidar": boxes,
+                "label_preds": labels,
+            }
+        result = center_distance_map(detections, gts, self.class_names)
+        summary = ", ".join(
+            f"{k}: {v:.3f}" for k, v in result["per_class"].items()
+        )
+        text = f"demo mAP {result['mAP']:.3f} ({summary})"
+        return {"results": {"demo": text}, "detail": {"demo": result}}, None
+
     def get_sensor_data(self, idx):
         points, boxes, names = self._synth_frame(idx)
         res = {
