@@ -193,9 +193,9 @@ def _convex_intersection_area(a_quad, b_quad):
 
 
 # Row-chunk size for pairwise overlap: bounds the (chunk, M, 24, 2)
-# candidate-vertex temporaries to ~tens of MB even at nms_pre_max_size=2048
-# (a full (K, K, 24, 2) buffer would be GBs).
-_PAIRWISE_CHUNK = 128
+# candidate-vertex temporaries bounded (~400 MB peak at K=2048) while keeping
+# the number of unrolled chunk subgraphs small for compile tractability.
+_PAIRWISE_CHUNK = 512
 
 
 @jax.jit
