@@ -82,6 +82,9 @@ def pillar_scatter_max_pallas(point_feats, flat_ids, valid, height, width,
     num_tiles = -(-height // tile_rows)
     padded_pillars = num_tiles * tile_pillars
     neg_fill = float(jnp.finfo(point_feats.dtype).min)
+    # HBM DMA slices need the lane (last) dimension 128-aligned; the
+    # occupancy column rides in slot C, the remainder is padding
+    c_pad = max(128, -(-(C + 1) // 128) * 128)
 
     def one(feats, ids, ok):
         ids = jnp.where(ok, ids, hw).astype(jnp.int32)
@@ -89,7 +92,12 @@ def pillar_scatter_max_pallas(point_feats, flat_ids, valid, height, width,
         sorted_ids = ids[order]
         # occupancy rides along as an extra all-ones column
         aug = jnp.concatenate(
-            [feats[order], jnp.ones((N, 1), feats.dtype)], axis=-1
+            [
+                feats[order],
+                jnp.ones((N, 1), feats.dtype),
+                jnp.zeros((N, c_pad - C - 1), feats.dtype),
+            ],
+            axis=-1,
         )
         aug = jnp.where(ok[order][:, None], aug, neg_fill)
 
@@ -99,7 +107,7 @@ def pillar_scatter_max_pallas(point_feats, flat_ids, valid, height, width,
             [sorted_ids, jnp.full((_CHUNK,), hw, jnp.int32)]
         )
         aug = jnp.concatenate(
-            [aug, jnp.full((_CHUNK, C + 1), neg_fill, feats.dtype)]
+            [aug, jnp.full((_CHUNK, c_pad), neg_fill, feats.dtype)]
         )
 
         tile_bounds = (
@@ -119,17 +127,17 @@ def pillar_scatter_max_pallas(point_feats, flat_ids, valid, height, width,
                     pl.BlockSpec(memory_space=pl.ANY),  # sorted feats+occ
                 ],
                 out_specs=pl.BlockSpec(
-                    (tile_pillars, C + 1), lambda t, *_: (t, 0),
+                    (tile_pillars, c_pad), lambda t, *_: (t, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 scratch_shapes=[
-                    pltpu.VMEM((_CHUNK, C + 1), point_feats.dtype),
+                    pltpu.VMEM((_CHUNK, c_pad), point_feats.dtype),
                     pltpu.SMEM((_CHUNK,), jnp.int32),
                     pltpu.SemaphoreType.DMA((2,)),
                 ],
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (padded_pillars, C + 1), feats.dtype
+                (padded_pillars, c_pad), feats.dtype
             ),
         )(tile_starts, sorted_ids, aug)
 
