@@ -37,11 +37,16 @@ def _kernel(tile_starts_ref, ids_ref, feats_ref, grid_ref,
 
     start = tile_starts_ref[t]
     end = tile_starts_ref[t + 1]
-    n = end - start
+    # chunk-align the stream start so every DMA offset is provably a
+    # multiple of _CHUNK (Mosaic requires tile-aligned dynamic slices);
+    # out-of-tile points picked up by the widened window are rejected by
+    # the local-range guard below.
+    astart = (start // _CHUNK) * _CHUNK
+    n = end - astart
     num_chunks = (n + _CHUNK - 1) // _CHUNK
 
     def chunk_body(ci, _):
-        offs = start + ci * _CHUNK
+        offs = pl.multiple_of(astart + ci * _CHUNK, _CHUNK)
         copy_f = pltpu.make_async_copy(
             feats_ref.at[pl.ds(offs, _CHUNK), :], feats_vmem, sem.at[0],
         )
@@ -53,12 +58,11 @@ def _kernel(tile_starts_ref, ids_ref, feats_ref, grid_ref,
         copy_f.wait()
         copy_i.wait()
 
-        remaining = n - ci * _CHUNK
-
         def point_body(j, _):
-            @pl.when(j < remaining)
+            local = ids_smem[j] - base
+
+            @pl.when((local >= 0) & (local < tile_pillars))
             def _():
-                local = ids_smem[j] - base
                 row = grid_ref[pl.ds(local, 1), :]
                 upd = feats_vmem[pl.ds(j, 1), :]
                 grid_ref[pl.ds(local, 1), :] = jnp.maximum(row, upd)
