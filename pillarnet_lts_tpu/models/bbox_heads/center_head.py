@@ -566,6 +566,8 @@ def _run_nms_batch(boxes, scores, labels, valid, order_scores,
     """Shared fixed-size pipeline: mask -> top-k by order_scores -> NMS ->
     first post_max kept. All per-sample, vmapped over the batch."""
 
+    pre_max = min(pre_max, boxes.shape[1])
+
     def one(bx, sc, lb, vd, osc):
         key = jnp.where(vd, osc, -jnp.inf)
         top_vals, top_idx = jax.lax.top_k(key, pre_max)

@@ -80,6 +80,11 @@ def pillar_scatter_max_pallas(point_feats, flat_ids, valid, height, width,
     """(B, N, C) features + (B, N) pillar ids (HW = dropped) ->
     (B, H, W, C) grid, (B, H, W) occupancy. Matches
     `ops.voxelize.scatter_max_to_grid` semantics (empty pillars -> 0)."""
+    out_dtype = point_feats.dtype
+    # the kernel's single-row VMEM read-modify-writes require the fp32
+    # (8, 128) sublane tiling; scatter in fp32 and cast the grid back
+    point_feats = point_feats.astype(jnp.float32)
+
     B, N, C = point_feats.shape
     hw = height * width
     tile_pillars = tile_rows * width
@@ -146,7 +151,7 @@ def pillar_scatter_max_pallas(point_feats, flat_ids, valid, height, width,
         )(tile_starts, sorted_ids, aug)
 
         occ = grid[:hw, C] > 0.0
-        out = jnp.where(occ[:, None], grid[:hw, :C], 0.0)
+        out = jnp.where(occ[:, None], grid[:hw, :C], 0.0).astype(out_dtype)
         return out.reshape(height, width, C), occ.reshape(height, width)
 
     return jax.vmap(one)(point_feats, flat_ids, valid)
