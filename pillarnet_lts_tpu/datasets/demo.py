@@ -119,7 +119,7 @@ class DemoDataset(PointCloudDataset):
             "type": "DemoDataset",
             "lidar": {
                 "type": "lidar",
-                "points": points[:, :4],
+                "points": points,  # full 5-feature rows (x, y, z, i, t)
                 "combined": points,
                 "nsweeps": 1,
                 "annotations": {"boxes": boxes, "names": names},

@@ -24,11 +24,21 @@ def parse_args():
     parser.add_argument("--work_dir", help="dir to save logs and checkpoints")
     parser.add_argument("--resume_from", help="checkpoint to resume from")
     parser.add_argument("--seed", type=int, default=None, help="random seed")
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="initialize jax.distributed for multi-host pods "
+             "(the NCCL/slurm launcher equivalent, `tools/train.py:88-120`)",
+    )
     return parser.parse_args()
 
 
 def main():
     args = parse_args()
+
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
     cfg = Config.fromfile(args.config)
     if args.work_dir is not None:
         cfg.work_dir = args.work_dir
