@@ -43,6 +43,11 @@ def parse_args():
 
 def main():
     args = parse_args()
+
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want:
+        jax.config.update("jax_platforms", want)
+
     logging.basicConfig(level=logging.INFO)
     logger = logging.getLogger("test")
     cfg = Config.fromfile(args.config)

@@ -35,9 +35,15 @@ def parse_args():
 def main():
     args = parse_args()
 
-    if args.multihost:
-        import jax
+    import jax
 
+    # honor an explicit platform request even under a sitecustomize that
+    # force-registers a TPU plugin and overrides the env var
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want:
+        jax.config.update("jax_platforms", want)
+
+    if args.multihost:
         jax.distributed.initialize()
     cfg = Config.fromfile(args.config)
     if args.work_dir is not None:
