@@ -80,13 +80,25 @@ def _select_topk_sorted(keep, post_max_size):
     return order, keep[order]
 
 
-@partial(jax.jit, static_argnames=("post_max_size",))
+def _greedy_suppress_mask(m, valid, sweeps=_NMS_SWEEPS):
+    """Greedy fixpoint given a precomputed suppression mask
+    M[j, i] = (j < i) & (iou > t)."""
+    keep = valid
+    for _ in range(sweeps):
+        suppressed = (keep.astype(jnp.float32) @ m) > 0.0
+        keep = valid & jnp.logical_not(suppressed)
+    return keep
+
+
+@partial(jax.jit,
+         static_argnames=("nms_thresh", "post_max_size", "use_pallas"))
 def rotated_nms(
     boxes,
     scores,
     valid,
     nms_thresh,
     post_max_size,
+    use_pallas=None,
 ):
     """Greedy rotated-BEV NMS over score-sorted, fixed-size candidates.
 
@@ -99,13 +111,25 @@ def rotated_nms(
         score-descending.
       scores: (K,) matching scores (used only for output passthrough).
       valid: (K,) bool — padding / below-threshold rows are False.
-      nms_thresh: BEV IoU threshold.
+      nms_thresh: BEV IoU threshold (python float — static).
       post_max_size: output size (static).
+      use_pallas: True/False/None(auto) — the Pallas pairwise-suppression
+        kernel keeps every candidate tensor in VMEM (the jnp path streams
+        (K, K, 32) temporaries through HBM, ~60 ms per 1000^2 block).
 
     Returns:
       (sel_idx, sel_mask): indices into the K candidates (post_max_size,)
       and their validity mask.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        from .pallas.nms_kernel import suppression_matrix_pallas
+
+        m = suppression_matrix_pallas(boxes, float(nms_thresh))
+        keep = _greedy_suppress_mask(m, valid)
+        return _select_topk_sorted(keep, post_max_size)
+
     bev = to_pcdet_bev(boxes)
     iou = rotated_iou_bev(bev, bev)
     keep = _greedy_suppress(iou, valid, nms_thresh)

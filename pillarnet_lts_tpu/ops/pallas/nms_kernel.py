@@ -1,0 +1,227 @@
+"""Pallas TPU kernel: pairwise rotated-BEV suppression matrix for NMS.
+
+The jnp rotated-IoU path (`ops/iou3d.py`) materializes (K, K, 32)-shaped
+candidate tensors in HBM — ~0.4 s for the 6-task nuScenes predict. This
+kernel tiles the K x K pair matrix (TILE x TILE per program), keeps every
+intermediate in VMEM, and emits only the (K, K) suppression mask
+M[i, j] = (i < j) & (IoU(i, j) > thresh) consumed by the greedy fixpoint.
+
+Math is identical to `_convex_intersection_area`: 24 candidate vertices
+(4 + 4 corners-inside + 16 edge intersections), angular bitonic sort, fan
+shoelace — but laid out candidate-major ((32, TILE, TILE)) so the sorting
+network's compare-exchange views only reshape leading axes, which Mosaic
+lowers as cheap sublane ops.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..iou3d import box_corners_bev, to_pcdet_bev
+
+_EPS = 1e-8
+_TILE = 64
+_NSLOT = 32  # 24 candidates padded to a power of two
+
+
+def _suppress_kernel(ca_ref, cb_ref, meta_a_ref, meta_b_ref, out_ref, *,
+                     thresh, tile):
+    # ca/cb: (8, TILE) corner coords laid out [x0..x3, y0..y3] per column box
+    # meta:  (2, TILE) rows [area, global_index]
+    ax = [ca_ref[k, :] for k in range(4)]   # (T,)
+    ay = [ca_ref[4 + k, :] for k in range(4)]
+    bx = [cb_ref[k, :] for k in range(4)]
+    by = [cb_ref[4 + k, :] for k in range(4)]
+
+    # pair-space broadcast helpers: A varies along rows, B along cols
+    def A(v):
+        return v[:, None]
+
+    def B(v):
+        return v[None, :]
+
+    # 1) corners of A inside B (and vice versa), CCW half-plane tests
+    def inside_tests(px_list, py_list, qx, qy, p_is_a):
+        flags = []
+        for p in range(4):
+            ok = None
+            px = A(px_list[p]) if p_is_a else B(px_list[p])
+            py = A(py_list[p]) if p_is_a else B(py_list[p])
+            for e in range(4):
+                e2 = (e + 1) % 4
+                ex0 = B(qx[e]) if p_is_a else A(qx[e])
+                ey0 = B(qy[e]) if p_is_a else A(qy[e])
+                ex1 = B(qx[e2]) if p_is_a else A(qx[e2])
+                ey1 = B(qy[e2]) if p_is_a else A(qy[e2])
+                cross = (ex1 - ex0) * (py - ey0) - (ey1 - ey0) * (px - ex0)
+                c = cross >= -_EPS
+                ok = c if ok is None else (ok & c)
+            flags.append(ok)
+        return flags  # 4 x (T, T) bool
+
+    a_in_b = inside_tests(ax, ay, bx, by, True)
+    b_in_a = inside_tests(bx, by, ax, ay, False)
+
+    cand_x, cand_y, cand_v = [], [], []
+    for p in range(4):
+        cand_x.append(jnp.broadcast_to(A(ax[p]), (tile, tile)))
+        cand_y.append(jnp.broadcast_to(A(ay[p]), (tile, tile)))
+        cand_v.append(a_in_b[p])
+    for p in range(4):
+        cand_x.append(jnp.broadcast_to(B(bx[p]), (tile, tile)))
+        cand_y.append(jnp.broadcast_to(B(by[p]), (tile, tile)))
+        cand_v.append(b_in_a[p])
+
+    # 2) 16 edge-pair intersections
+    for i in range(4):
+        i2 = (i + 1) % 4
+        a0x, a0y = A(ax[i]), A(ay[i])
+        dax, day = A(ax[i2]) - a0x, A(ay[i2]) - a0y
+        for j in range(4):
+            j2 = (j + 1) % 4
+            b0x, b0y = B(bx[j]), B(by[j])
+            dbx, dby = B(bx[j2]) - b0x, B(by[j2]) - b0y
+            den = dax * dby - day * dbx
+            rx, ry = b0x - a0x, b0y - a0y
+            tn = rx * dby - ry * dbx
+            un = rx * day - ry * dax
+            safe = jnp.where(jnp.abs(den) < _EPS, 1.0, den)
+            t = tn / safe
+            u = un / safe
+            ok = (
+                (jnp.abs(den) >= _EPS)
+                & (t >= -_EPS) & (t <= 1 + _EPS)
+                & (u >= -_EPS) & (u <= 1 + _EPS)
+            )
+            cand_x.append(a0x + t * dax)
+            cand_y.append(a0y + t * day)
+            cand_v.append(ok)
+
+    # stack candidate-major and pad 24 -> 32
+    px = jnp.stack(cand_x + [jnp.zeros((tile, tile))] * 8)  # (32, T, T)
+    py = jnp.stack(cand_y + [jnp.zeros((tile, tile))] * 8)
+    vl = jnp.stack(
+        [v.astype(jnp.float32) for v in cand_v]
+        + [jnp.zeros((tile, tile))] * 8
+    )
+
+    nv = vl.sum(axis=0)  # (T, T)
+    nv_safe = jnp.maximum(nv, 1.0)
+    cx = (px * vl).sum(axis=0) / nv_safe
+    cy = (py * vl).sum(axis=0) / nv_safe
+    ang = jnp.arctan2(py - cy[None], px - cx[None])
+    big = jnp.float32(1e9)
+    key = jnp.where(vl > 0, ang, big)
+
+    # 3) bitonic sort along the leading (candidate) axis
+    def stage(key, px, py, vl, k, j):
+        n = _NSLOT
+        n2 = n // (2 * j)
+        view = (n2, 2, j, tile, tile)
+        # ascending flag of each pair, from the low slot's global index
+        # (computed with iota — pallas kernels cannot capture constants)
+        bb = jax.lax.broadcasted_iota(jnp.int32, (n2, j), 0)
+        tt = jax.lax.broadcasted_iota(jnp.int32, (n2, j), 1)
+        asc = (((bb * 2 * j + tt) & k) == 0)[:, :, None, None]
+
+        def split(a):
+            a = a.reshape(view)
+            return a[:, 0], a[:, 1]  # each (n/2j, j, T, T)
+
+        k_lo, k_hi = split(key)
+        lo_first = k_lo <= k_hi
+        take_lo = jnp.where(asc, lo_first, jnp.logical_not(lo_first))
+
+        def merge(lo, hi):
+            nlo = jnp.where(take_lo, lo, hi)
+            nhi = jnp.where(take_lo, hi, lo)
+            return jnp.stack([nlo, nhi], axis=1).reshape((n, tile, tile))
+
+        key = merge(k_lo, k_hi)
+        x_lo, x_hi = split(px)
+        px = merge(x_lo, x_hi)
+        y_lo, y_hi = split(py)
+        py = merge(y_lo, y_hi)
+        v_lo, v_hi = split(vl)
+        vl = merge(v_lo, v_hi)
+        return key, px, py, vl
+
+    k = 2
+    while k <= _NSLOT:
+        j = k // 2
+        while j >= 1:
+            key, px, py, vl = stage(key, px, py, vl, k, j)
+            j //= 2
+        k *= 2
+
+    # 4) fan shoelace over the sorted valid prefix
+    dx = px - px[0:1]
+    dy = py - py[0:1]
+    cross = dx[:-1] * dy[1:] - dy[:-1] * dx[1:]
+    tri_valid = vl[:-1] * vl[1:]
+    area = 0.5 * jnp.abs((cross * tri_valid).sum(axis=0))
+    area = jnp.where(nv >= 3.0, area, 0.0)
+
+    sa = meta_a_ref[0, :]
+    sb = meta_b_ref[0, :]
+    union = jnp.maximum(A(sa) + B(sb) - area, _EPS)
+    iou = area / union
+
+    gi = meta_a_ref[1, :]
+    gj = meta_b_ref[1, :]
+    out_ref[:] = jnp.where(
+        (iou > thresh) & (A(gi) < B(gj)), 1.0, 0.0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("thresh",))
+def suppression_matrix_pallas(boxes, thresh):
+    """det3d boxes (K, 7+) -> (K, K) f32 mask M[i, j] = (i<j) & (iou > t).
+
+    K is padded to a multiple of the tile internally.
+    """
+    K = boxes.shape[0]
+    kp = -(-K // _TILE) * _TILE
+    bev = to_pcdet_bev(boxes)
+    corners = box_corners_bev(bev)  # (K, 4, 2)
+    areas = bev[:, 2] * bev[:, 3]
+
+    # layout (8, Kp): [x0..x3, y0..y3]; padded boxes get distant corners so
+    # they never overlap anything
+    cx = jnp.concatenate(
+        [corners[..., 0].T, jnp.full((4, kp - K), 1e8)], axis=1
+    )
+    cy = jnp.concatenate(
+        [corners[..., 1].T, jnp.full((4, kp - K), 1e8)], axis=1
+    )
+    cpack = jnp.concatenate([cx, cy], axis=0)  # (8, Kp)
+    meta = jnp.stack(
+        [
+            jnp.concatenate([areas, jnp.ones(kp - K)]),
+            jnp.arange(kp, dtype=jnp.float32),
+        ]
+    )  # (2, Kp)
+
+    nt = kp // _TILE
+    out = pl.pallas_call(
+        functools.partial(_suppress_kernel, thresh=thresh, tile=_TILE),
+        grid=(nt, nt),
+        in_specs=[
+            pl.BlockSpec((8, _TILE), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, _TILE), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, _TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_TILE, _TILE), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((kp, kp), jnp.float32),
+    )(cpack, cpack, meta, meta)
+    return out[:K, :K]
