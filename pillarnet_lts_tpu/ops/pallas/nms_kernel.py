@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..iou3d import box_corners_bev, to_pcdet_bev
 
 _EPS = 1e-8
-_TILE = 64
+_TILE = 128
 _NSLOT = 32  # 24 candidates padded to a power of two
 
 
