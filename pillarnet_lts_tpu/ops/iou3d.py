@@ -166,7 +166,12 @@ def _convex_intersection_area(a_quad, b_quad):
     centroid = (pts * vf).sum(axis=-2, keepdims=True) / jnp.maximum(
         num_valid[..., None], 1
     )
-    ang = jnp.arctan2(pts[..., 1] - centroid[..., 1], pts[..., 0] - centroid[..., 0])
+    # pseudo-angle: monotone in atan2 over (-pi, pi], no transcendentals
+    dxc = pts[..., 0] - centroid[..., 0]
+    dyc = pts[..., 1] - centroid[..., 1]
+    r = jnp.abs(dxc) + jnp.abs(dyc) + _EPS
+    p = 1.0 - dxc / r
+    ang = jnp.where(dyc >= 0, p, -p)
     ang = jnp.where(valid, ang, jnp.inf)  # invalid sorted last
 
     # pad 24 -> 32 slots for the power-of-two network

@@ -112,7 +112,13 @@ def _suppress_kernel(ca_ref, cb_ref, meta_a_ref, meta_b_ref, out_ref, *,
     nv_safe = jnp.maximum(nv, 1.0)
     cx = (px * vl).sum(axis=0) / nv_safe
     cy = (py * vl).sum(axis=0) / nv_safe
-    ang = jnp.arctan2(py - cy[None], px - cx[None])
+    # pseudo-angle: monotone in atan2(dy, dx) over (-pi, pi], no
+    # transcendentals (Mosaic has no atan2 lowering)
+    dxc = px - cx[None]
+    dyc = py - cy[None]
+    r = jnp.abs(dxc) + jnp.abs(dyc) + _EPS
+    p = 1.0 - dxc / r
+    ang = jnp.where(dyc >= 0, p, -p)
     big = jnp.float32(1e9)
     key = jnp.where(vl > 0, ang, big)
 
