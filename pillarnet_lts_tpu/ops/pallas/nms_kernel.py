@@ -100,15 +100,22 @@ def _suppress_kernel(ca_ref, cb_ref, meta_a_ref, meta_b_ref, out_ref, *,
             cand_y.append(a0y + t * day)
             cand_v.append(ok)
 
-    # stack candidate-major and pad 24 -> 32
-    px = jnp.stack(cand_x + [jnp.zeros((tile, tile))] * 8)  # (32, T, T)
-    py = jnp.stack(cand_y + [jnp.zeros((tile, tile))] * 8)
+    # stack candidate-major and pad 24 -> 32; collapse the (T, T) pair grid
+    # to one lane axis so every sort-stage tensor stays rank <= 3 (Mosaic
+    # cannot lower rank-4 boolean vectors)
+    tt = tile * tile
+    px = jnp.stack(cand_x + [jnp.zeros((tile, tile))] * 8).reshape(
+        _NSLOT, tt
+    )
+    py = jnp.stack(cand_y + [jnp.zeros((tile, tile))] * 8).reshape(
+        _NSLOT, tt
+    )
     vl = jnp.stack(
         [v.astype(jnp.float32) for v in cand_v]
         + [jnp.zeros((tile, tile))] * 8
-    )
+    ).reshape(_NSLOT, tt)
 
-    nv = vl.sum(axis=0)  # (T, T)
+    nv = vl.sum(axis=0)  # (TT,)
     nv_safe = jnp.maximum(nv, 1.0)
     cx = (px * vl).sum(axis=0) / nv_safe
     cy = (py * vl).sum(axis=0) / nv_safe
@@ -126,16 +133,17 @@ def _suppress_kernel(ca_ref, cb_ref, meta_a_ref, meta_b_ref, out_ref, *,
     def stage(key, px, py, vl, k, j):
         n = _NSLOT
         n2 = n // (2 * j)
-        view = (n2, 2, j, tile, tile)
+        view = (n2, 2, j * tt)
         # ascending flag of each pair, from the low slot's global index
-        # (computed with iota — pallas kernels cannot capture constants)
-        bb = jax.lax.broadcasted_iota(jnp.int32, (n2, j), 0)
-        tt = jax.lax.broadcasted_iota(jnp.int32, (n2, j), 1)
-        asc = (((bb * 2 * j + tt) & k) == 0)[:, :, None, None]
+        # (computed with iota — pallas kernels cannot capture constants);
+        # within a (2j)-block all low slots share (idx & k) for j < k, so the
+        # flag depends only on the block index
+        bb = jax.lax.broadcasted_iota(jnp.int32, (n2, 1), 0)
+        asc = ((bb * 2 * j) & k) == 0  # (n2, 1)
 
         def split(a):
             a = a.reshape(view)
-            return a[:, 0], a[:, 1]  # each (n/2j, j, T, T)
+            return a[:, 0], a[:, 1]  # each (n2, j*TT)
 
         k_lo, k_hi = split(key)
         lo_first = k_lo <= k_hi
@@ -144,7 +152,7 @@ def _suppress_kernel(ca_ref, cb_ref, meta_a_ref, meta_b_ref, out_ref, *,
         def merge(lo, hi):
             nlo = jnp.where(take_lo, lo, hi)
             nhi = jnp.where(take_lo, hi, lo)
-            return jnp.stack([nlo, nhi], axis=1).reshape((n, tile, tile))
+            return jnp.stack([nlo, nhi], axis=1).reshape((n, tt))
 
         key = merge(k_lo, k_hi)
         x_lo, x_hi = split(px)
@@ -169,7 +177,7 @@ def _suppress_kernel(ca_ref, cb_ref, meta_a_ref, meta_b_ref, out_ref, *,
     cross = dx[:-1] * dy[1:] - dy[:-1] * dx[1:]
     tri_valid = vl[:-1] * vl[1:]
     area = 0.5 * jnp.abs((cross * tri_valid).sum(axis=0))
-    area = jnp.where(nv >= 3.0, area, 0.0)
+    area = jnp.where(nv >= 3.0, area, 0.0).reshape(tile, tile)
 
     sa = meta_a_ref[0, :]
     sb = meta_b_ref[0, :]
