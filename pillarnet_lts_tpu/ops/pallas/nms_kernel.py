@@ -43,11 +43,13 @@ def _suppress_kernel(ca_ref, cb_ref, meta_a_ref, meta_b_ref, out_ref, *,
     def B(v):
         return v[None, :]
 
-    # 1) corners of A inside B (and vice versa), CCW half-plane tests
+    # 1) corners of A inside B (and vice versa), CCW half-plane tests.
+    # All persistent masks are kept as f32 0/1 — Mosaic cannot lower stored
+    # boolean vectors (i8 -> i1 trunc) at these shapes.
     def inside_tests(px_list, py_list, qx, qy, p_is_a):
         flags = []
         for p in range(4):
-            ok = None
+            ok = 1.0
             px = A(px_list[p]) if p_is_a else B(px_list[p])
             py = A(py_list[p]) if p_is_a else B(py_list[p])
             for e in range(4):
@@ -57,10 +59,9 @@ def _suppress_kernel(ca_ref, cb_ref, meta_a_ref, meta_b_ref, out_ref, *,
                 ex1 = B(qx[e2]) if p_is_a else A(qx[e2])
                 ey1 = B(qy[e2]) if p_is_a else A(qy[e2])
                 cross = (ex1 - ex0) * (py - ey0) - (ey1 - ey0) * (px - ex0)
-                c = cross >= -_EPS
-                ok = c if ok is None else (ok & c)
+                ok = ok * jnp.where(cross >= -_EPS, 1.0, 0.0)
             flags.append(ok)
-        return flags  # 4 x (T, T) bool
+        return flags  # 4 x (T, T) f32
 
     a_in_b = inside_tests(ax, ay, bx, by, True)
     b_in_a = inside_tests(bx, by, ax, ay, False)
@@ -92,9 +93,11 @@ def _suppress_kernel(ca_ref, cb_ref, meta_a_ref, meta_b_ref, out_ref, *,
             t = tn / safe
             u = un / safe
             ok = (
-                (jnp.abs(den) >= _EPS)
-                & (t >= -_EPS) & (t <= 1 + _EPS)
-                & (u >= -_EPS) & (u <= 1 + _EPS)
+                jnp.where(jnp.abs(den) >= _EPS, 1.0, 0.0)
+                * jnp.where(t >= -_EPS, 1.0, 0.0)
+                * jnp.where(t <= 1 + _EPS, 1.0, 0.0)
+                * jnp.where(u >= -_EPS, 1.0, 0.0)
+                * jnp.where(u <= 1 + _EPS, 1.0, 0.0)
             )
             cand_x.append(a0x + t * dax)
             cand_y.append(a0y + t * day)
@@ -111,7 +114,7 @@ def _suppress_kernel(ca_ref, cb_ref, meta_a_ref, meta_b_ref, out_ref, *,
         _NSLOT, tt
     )
     vl = jnp.stack(
-        [v.astype(jnp.float32) for v in cand_v]
+        [v * jnp.ones((tile, tile)) for v in cand_v]
         + [jnp.zeros((tile, tile))] * 8
     ).reshape(_NSLOT, tt)
 
@@ -139,19 +142,19 @@ def _suppress_kernel(ca_ref, cb_ref, meta_a_ref, meta_b_ref, out_ref, *,
         # within a (2j)-block all low slots share (idx & k) for j < k, so the
         # flag depends only on the block index
         bb = jax.lax.broadcasted_iota(jnp.int32, (n2, 1), 0)
-        asc = ((bb * 2 * j) & k) == 0  # (n2, 1)
+        asc = jnp.where(((bb * 2 * j) & k) == 0, 1.0, 0.0)  # (n2, 1) f32
 
         def split(a):
             a = a.reshape(view)
             return a[:, 0], a[:, 1]  # each (n2, j*TT)
 
         k_lo, k_hi = split(key)
-        lo_first = k_lo <= k_hi
-        take_lo = jnp.where(asc, lo_first, jnp.logical_not(lo_first))
+        lo_first = jnp.where(k_lo <= k_hi, 1.0, 0.0)
+        take_lo = asc * lo_first + (1.0 - asc) * (1.0 - lo_first)
 
         def merge(lo, hi):
-            nlo = jnp.where(take_lo, lo, hi)
-            nhi = jnp.where(take_lo, hi, lo)
+            nlo = take_lo * lo + (1.0 - take_lo) * hi
+            nhi = take_lo * hi + (1.0 - take_lo) * lo
             return jnp.stack([nlo, nhi], axis=1).reshape((n, tt))
 
         key = merge(k_lo, k_hi)
@@ -186,8 +189,9 @@ def _suppress_kernel(ca_ref, cb_ref, meta_a_ref, meta_b_ref, out_ref, *,
 
     gi = meta_a_ref[1, :]
     gj = meta_b_ref[1, :]
-    out_ref[:] = jnp.where(
-        (iou > thresh) & (A(gi) < B(gj)), 1.0, 0.0
+    out_ref[:] = (
+        jnp.where(iou > thresh, 1.0, 0.0)
+        * jnp.where(A(gi) < B(gj), 1.0, 0.0)
     )
 
 
