@@ -122,7 +122,10 @@ def rotated_nms(
       and their validity mask.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        # default off: the kernel is exact (interpret-mode verified) but the
+        # remote Mosaic compiler in this environment is flaky on it; flip to
+        # auto-on-TPU once hardware compiles are reliable
+        use_pallas = False
     if use_pallas:
         from .pallas.nms_kernel import suppression_matrix_pallas
 
