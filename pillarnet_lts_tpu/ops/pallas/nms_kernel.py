@@ -23,18 +23,23 @@ from jax.experimental.pallas import tpu as pltpu
 from ..iou3d import box_corners_bev, to_pcdet_bev
 
 _EPS = 1e-8
-_TILE = 128
+# Pair-matrix tile per program: TI rows x TJ cols. Kept small — the Mosaic
+# compiler's memory footprint scales with the unrolled vector sizes and the
+# remote compile helper gets OOM-killed on (32, 128*128) candidate tensors.
+_TI = 16
+_TJ = 128
 _NSLOT = 32  # 24 candidates padded to a power of two
 
 
 def _suppress_kernel(ca_ref, cb_ref, meta_a_ref, meta_b_ref, out_ref, *,
-                     thresh, tile):
-    # ca/cb: (8, TILE) corner coords laid out [x0..x3, y0..y3] per column box
-    # meta:  (2, TILE) rows [area, global_index]
-    ax = [ca_ref[k, :] for k in range(4)]   # (T,)
-    ay = [ca_ref[4 + k, :] for k in range(4)]
-    bx = [cb_ref[k, :] for k in range(4)]
-    by = [cb_ref[4 + k, :] for k in range(4)]
+                     thresh, ti, tj):
+    # ca/cb: (T, 8) corner coords laid out [x0..x3, y0..y3] per row box
+    # meta:  (T, 2) cols [area, global_index]
+    tile = None  # unused; row/col tiles differ
+    ax = [ca_ref[:, k] for k in range(4)]   # (TI,)
+    ay = [ca_ref[:, 4 + k] for k in range(4)]
+    bx = [cb_ref[:, k] for k in range(4)]   # (TJ,)
+    by = [cb_ref[:, 4 + k] for k in range(4)]
 
     # pair-space broadcast helpers: A varies along rows, B along cols
     def A(v):
@@ -68,12 +73,12 @@ def _suppress_kernel(ca_ref, cb_ref, meta_a_ref, meta_b_ref, out_ref, *,
 
     cand_x, cand_y, cand_v = [], [], []
     for p in range(4):
-        cand_x.append(jnp.broadcast_to(A(ax[p]), (tile, tile)))
-        cand_y.append(jnp.broadcast_to(A(ay[p]), (tile, tile)))
+        cand_x.append(jnp.broadcast_to(A(ax[p]), (ti, tj)))
+        cand_y.append(jnp.broadcast_to(A(ay[p]), (ti, tj)))
         cand_v.append(a_in_b[p])
     for p in range(4):
-        cand_x.append(jnp.broadcast_to(B(bx[p]), (tile, tile)))
-        cand_y.append(jnp.broadcast_to(B(by[p]), (tile, tile)))
+        cand_x.append(jnp.broadcast_to(B(bx[p]), (ti, tj)))
+        cand_y.append(jnp.broadcast_to(B(by[p]), (ti, tj)))
         cand_v.append(b_in_a[p])
 
     # 2) 16 edge-pair intersections
@@ -106,16 +111,12 @@ def _suppress_kernel(ca_ref, cb_ref, meta_a_ref, meta_b_ref, out_ref, *,
     # stack candidate-major and pad 24 -> 32; collapse the (T, T) pair grid
     # to one lane axis so every sort-stage tensor stays rank <= 3 (Mosaic
     # cannot lower rank-4 boolean vectors)
-    tt = tile * tile
-    px = jnp.stack(cand_x + [jnp.zeros((tile, tile))] * 8).reshape(
-        _NSLOT, tt
-    )
-    py = jnp.stack(cand_y + [jnp.zeros((tile, tile))] * 8).reshape(
-        _NSLOT, tt
-    )
+    tt = ti * tj
+    px = jnp.stack(cand_x + [jnp.zeros((ti, tj))] * 8).reshape(_NSLOT, tt)
+    py = jnp.stack(cand_y + [jnp.zeros((ti, tj))] * 8).reshape(_NSLOT, tt)
     vl = jnp.stack(
-        [v * jnp.ones((tile, tile)) for v in cand_v]
-        + [jnp.zeros((tile, tile))] * 8
+        [v * jnp.ones((ti, tj)) for v in cand_v]
+        + [jnp.zeros((ti, tj))] * 8
     ).reshape(_NSLOT, tt)
 
     nv = vl.sum(axis=0)  # (TT,)
@@ -180,15 +181,15 @@ def _suppress_kernel(ca_ref, cb_ref, meta_a_ref, meta_b_ref, out_ref, *,
     cross = dx[:-1] * dy[1:] - dy[:-1] * dx[1:]
     tri_valid = vl[:-1] * vl[1:]
     area = 0.5 * jnp.abs((cross * tri_valid).sum(axis=0))
-    area = jnp.where(nv >= 3.0, area, 0.0).reshape(tile, tile)
+    area = jnp.where(nv >= 3.0, area, 0.0).reshape(ti, tj)
 
-    sa = meta_a_ref[0, :]
-    sb = meta_b_ref[0, :]
+    sa = meta_a_ref[:, 0]
+    sb = meta_b_ref[:, 0]
     union = jnp.maximum(A(sa) + B(sb) - area, _EPS)
     iou = area / union
 
-    gi = meta_a_ref[1, :]
-    gj = meta_b_ref[1, :]
+    gi = meta_a_ref[:, 1]
+    gj = meta_b_ref[:, 1]
     out_ref[:] = (
         jnp.where(iou > thresh, 1.0, 0.0)
         * jnp.where(A(gi) < B(gj), 1.0, 0.0)
@@ -202,43 +203,43 @@ def suppression_matrix_pallas(boxes, thresh):
     K is padded to a multiple of the tile internally.
     """
     K = boxes.shape[0]
-    kp = -(-K // _TILE) * _TILE
+    lcm = max(_TI, _TJ)
+    kp = -(-K // lcm) * lcm
     bev = to_pcdet_bev(boxes)
     corners = box_corners_bev(bev)  # (K, 4, 2)
     areas = bev[:, 2] * bev[:, 3]
 
-    # layout (8, Kp): [x0..x3, y0..y3]; padded boxes get distant corners so
+    # layout (Kp, 8): [x0..x3, y0..y3]; padded boxes get distant corners so
     # they never overlap anything
-    cx = jnp.concatenate(
-        [corners[..., 0].T, jnp.full((4, kp - K), 1e8)], axis=1
+    cpack = jnp.concatenate(
+        [corners[..., 0], corners[..., 1]], axis=1
+    )  # (K, 8)
+    cpack = jnp.concatenate(
+        [cpack, jnp.full((kp - K, 8), 1e8)], axis=0
     )
-    cy = jnp.concatenate(
-        [corners[..., 1].T, jnp.full((4, kp - K), 1e8)], axis=1
-    )
-    cpack = jnp.concatenate([cx, cy], axis=0)  # (8, Kp)
     meta = jnp.stack(
         [
             jnp.concatenate([areas, jnp.ones(kp - K)]),
             jnp.arange(kp, dtype=jnp.float32),
-        ]
-    )  # (2, Kp)
+        ],
+        axis=1,
+    )  # (Kp, 2)
 
-    nt = kp // _TILE
     out = pl.pallas_call(
-        functools.partial(_suppress_kernel, thresh=thresh, tile=_TILE),
-        grid=(nt, nt),
+        functools.partial(_suppress_kernel, thresh=thresh, ti=_TI, tj=_TJ),
+        grid=(kp // _TI, kp // _TJ),
         in_specs=[
-            pl.BlockSpec((8, _TILE), lambda i, j: (0, i),
+            pl.BlockSpec((_TI, 8), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, _TILE), lambda i, j: (0, j),
+            pl.BlockSpec((_TJ, 8), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, _TILE), lambda i, j: (0, i),
+            pl.BlockSpec((_TI, 2), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, _TILE), lambda i, j: (0, j),
+            pl.BlockSpec((_TJ, 2), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (_TILE, _TILE), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            (_TI, _TJ), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((kp, kp), jnp.float32),
     )(cpack, cpack, meta, meta)
