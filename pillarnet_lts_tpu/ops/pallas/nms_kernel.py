@@ -31,6 +31,16 @@ _TJ = 128
 _NSLOT = 32  # 24 candidates padded to a power of two
 
 
+
+def _sum0(a):
+    """Sum over the leading axis with unrolled adds (Mosaic cannot lower
+    multi_reduction over the sublane axis to a 1-D result)."""
+    acc = a[0]
+    for i in range(1, a.shape[0]):
+        acc = acc + a[i]
+    return acc
+
+
 def _suppress_kernel(ca_ref, cb_ref, meta_a_ref, meta_b_ref, out_ref, *,
                      thresh, ti, tj):
     # ca/cb: (T, 8) corner coords laid out [x0..x3, y0..y3] per row box
@@ -119,10 +129,10 @@ def _suppress_kernel(ca_ref, cb_ref, meta_a_ref, meta_b_ref, out_ref, *,
         + [jnp.zeros((ti, tj))] * 8
     ).reshape(_NSLOT, tt)
 
-    nv = vl.sum(axis=0)  # (TT,)
+    nv = _sum0(vl)  # (TT,)
     nv_safe = jnp.maximum(nv, 1.0)
-    cx = (px * vl).sum(axis=0) / nv_safe
-    cy = (py * vl).sum(axis=0) / nv_safe
+    cx = _sum0(px * vl) / nv_safe
+    cy = _sum0(py * vl) / nv_safe
     # pseudo-angle: monotone in atan2(dy, dx) over (-pi, pi], no
     # transcendentals (Mosaic has no atan2 lowering)
     dxc = px - cx[None]
@@ -180,7 +190,7 @@ def _suppress_kernel(ca_ref, cb_ref, meta_a_ref, meta_b_ref, out_ref, *,
     dy = py - py[0:1]
     cross = dx[:-1] * dy[1:] - dy[:-1] * dx[1:]
     tri_valid = vl[:-1] * vl[1:]
-    area = 0.5 * jnp.abs((cross * tri_valid).sum(axis=0))
+    area = 0.5 * jnp.abs(_sum0(cross * tri_valid))
     area = jnp.where(nv >= 3.0, area, 0.0).reshape(ti, tj)
 
     sa = meta_a_ref[:, 0]
