@@ -83,24 +83,23 @@ def main():
     bf16_t = _measure(
         os.path.join(root, "configs/pillarnet/pillarnet34_nusc_bf16.py")
     )
-    fp32_t = _measure(
-        os.path.join(root, "configs/pillarnet/pillarnet34_nusc.py")
-    )
 
-    fps = 1.0 / bf16_t
-    print(
-        json.dumps(
-            {
-                "metric": "pillarnet34_nusc_fps_bs1",
-                "value": round(fps, 3),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-                "p50_latency_ms": round(bf16_t * 1000, 2),
-                "fp32_fps": round(1.0 / fp32_t, 3),
-                "fp32_p50_latency_ms": round(fp32_t * 1000, 2),
-            }
+    record = {
+        "metric": "pillarnet34_nusc_fps_bs1",
+        "value": round(1.0 / bf16_t, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(1.0 / bf16_t / BASELINE_FPS, 3),
+        "p50_latency_ms": round(bf16_t * 1000, 2),
+    }
+    try:
+        fp32_t = _measure(
+            os.path.join(root, "configs/pillarnet/pillarnet34_nusc.py")
         )
-    )
+        record["fp32_fps"] = round(1.0 / fp32_t, 3)
+        record["fp32_p50_latency_ms"] = round(fp32_t * 1000, 2)
+    except Exception as e:  # headline must survive a secondary failure
+        record["fp32_error"] = str(e)[:200]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
