@@ -374,6 +374,7 @@ class CenterHeadMath:
                              iou_flat, test_cfg):
         """Shared candidate filtering + NMS on pre-flattened (B', P, *) maps."""
         nms_cfg = test_cfg["nms"]
+        approx = bool(nms_cfg.get("approx_topk", False))
 
         def _task_param(p):
             return p[task_id] if isinstance(p, (list, tuple)) else p
@@ -396,6 +397,7 @@ class CenterHeadMath:
                 lambda bx, sc, vd: circle_nms(
                     bx[:, :2], vd, min_radius, post_max
                 ),
+                approx_topk=approx,
             )
 
         rect = _task_param(test_cfg.get("rectifier", 0.0))
@@ -407,6 +409,7 @@ class CenterHeadMath:
             boxes_flat, scores, labels, valid, rect_scores,
             pre_max, post_max,
             lambda bx, sc, vd: rotated_nms(bx, sc, vd, thresh, post_max),
+            approx_topk=approx,
         )
 
     def _post_process_task(self, task_id, box_preds, hm, iou, test_cfg):
@@ -429,6 +432,7 @@ class CenterHeadMath:
         valid = (scores > test_cfg["score_threshold"]) & dist_ok
 
         nms_cfg = test_cfg["nms"]
+        approx = bool(nms_cfg.get("approx_topk", False))
 
         def _task_param(p):
             return p[task_id] if isinstance(p, (list, tuple)) else p
@@ -443,6 +447,7 @@ class CenterHeadMath:
                 lambda bx, sc, vd: circle_nms(
                     bx[:, :2], vd, min_radius, post_max
                 ),
+                approx_topk=approx,
             )
 
         if nms_cfg.get("use_rotate_nms", False):
@@ -457,6 +462,7 @@ class CenterHeadMath:
                 boxes_flat, scores, labels, valid, rect_scores,
                 pre_max, post_max,
                 lambda bx, sc, vd: rotated_nms(bx, sc, vd, thresh, post_max),
+                approx_topk=approx,
             )
 
         if nms_cfg.get("use_multi_class_nms", False):
@@ -482,6 +488,7 @@ class CenterHeadMath:
                         int(pre_sizes[k]), int(post_sizes[k]),
                         lambda bx, sc, vd, _t=threshs[k], _p=int(post_sizes[k]):
                             rotated_nms(bx, sc, vd, _t, _p),
+                        approx_topk=approx,
                     )
                 )
             return tuple(
@@ -562,15 +569,25 @@ class CenterHead(nn.Module):
 
 
 def _run_nms_batch(boxes, scores, labels, valid, order_scores,
-                   pre_max, post_max, nms_fn):
+                   pre_max, post_max, nms_fn, approx_topk=False):
     """Shared fixed-size pipeline: mask -> top-k by order_scores -> NMS ->
-    first post_max kept. All per-sample, vmapped over the batch."""
+    first post_max kept. All per-sample, vmapped over the batch.
+
+    approx_topk uses the TPU-native `lax.approx_max_k` (recall_target 0.99)
+    for the candidate pre-selection — a few of the lowest-scoring of the
+    pre_max candidates may be swapped, which is far below any detection that
+    survives NMS. Enabled per-config (`test_cfg.nms.approx_topk`)."""
 
     pre_max = min(pre_max, boxes.shape[1])
 
     def one(bx, sc, lb, vd, osc):
         key = jnp.where(vd, osc, -jnp.inf)
-        top_vals, top_idx = jax.lax.top_k(key, pre_max)
+        if approx_topk:
+            top_vals, top_idx = jax.lax.approx_max_k(
+                key, pre_max, recall_target=0.99
+            )
+        else:
+            top_vals, top_idx = jax.lax.top_k(key, pre_max)
         cand_boxes = bx[top_idx]
         cand_scores = sc[top_idx]
         cand_labels = lb[top_idx]
