@@ -74,12 +74,22 @@ def _kernel(tile_starts_ref, ids_ref, feats_ref, grid_ref,
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
 
 
-@partial(jax.jit, static_argnames=("height", "width", "tile_rows"))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def pillar_scatter_max_pallas(point_feats, flat_ids, valid, height, width,
                               tile_rows=8):
     """(B, N, C) features + (B, N) pillar ids (HW = dropped) ->
     (B, H, W, C) grid, (B, H, W) occupancy. Matches
-    `ops.voxelize.scatter_max_to_grid` semantics (empty pillars -> 0)."""
+    `ops.voxelize.scatter_max_to_grid` semantics (empty pillars -> 0).
+
+    Differentiable via a custom VJP: the gradient of a pillar's max routes to
+    the point(s) attaining it (the CUDA reference stores an argmax for the
+    same purpose, `scatter_ops_gpu.cu:24-45`; ties receive duplicated
+    gradient here — measure-zero for continuous features)."""
+    return _scatter_fwd_impl(point_feats, flat_ids, valid, height, width,
+                             tile_rows)
+
+
+def _scatter_fwd_impl(point_feats, flat_ids, valid, height, width, tile_rows):
     out_dtype = point_feats.dtype
     # the kernel's single-row VMEM read-modify-writes require the fp32
     # (8, 128) sublane tiling; scatter in fp32 and cast the grid back
@@ -155,3 +165,33 @@ def pillar_scatter_max_pallas(point_feats, flat_ids, valid, height, width,
         return out.reshape(height, width, C), occ.reshape(height, width)
 
     return jax.vmap(one)(point_feats, flat_ids, valid)
+
+
+def _scatter_vjp_fwd(point_feats, flat_ids, valid, height, width, tile_rows):
+    grid, occ = _scatter_fwd_impl(
+        point_feats, flat_ids, valid, height, width, tile_rows
+    )
+    return (grid, occ), (point_feats, flat_ids, valid, grid)
+
+
+def _scatter_vjp_bwd(height, width, tile_rows, residuals, cotangents):
+    point_feats, flat_ids, valid, grid = residuals
+    dgrid = cotangents[0]  # occupancy is boolean -> no gradient
+
+    B, N, C = point_feats.shape
+    hw = height * width
+    flat_grid = grid.reshape(B, hw, C)
+    flat_dg = dgrid.reshape(B, hw, C)
+
+    pid = jnp.clip(flat_ids, 0, hw - 1).astype(jnp.int32)[..., None]
+    g_at = jnp.take_along_axis(flat_grid, pid, axis=1)  # (B, N, C)
+    d_at = jnp.take_along_axis(flat_dg, pid, axis=1)
+
+    winner = (
+        (point_feats.astype(grid.dtype) == g_at) & valid[..., None]
+    )
+    dpf = jnp.where(winner, d_at, 0).astype(point_feats.dtype)
+    return (dpf, None, None)
+
+
+pillar_scatter_max_pallas.defvjp(_scatter_vjp_fwd, _scatter_vjp_bwd)

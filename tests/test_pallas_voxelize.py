@@ -37,3 +37,29 @@ def test_pallas_scatter_matches_xla(seed):
     np.testing.assert_allclose(
         np.asarray(got_grid), np.asarray(want_grid), atol=1e-6
     )
+
+
+def test_pallas_scatter_gradient_matches_xla():
+    rng = np.random.RandomState(5)
+    B, N, C = 1, 300, 8
+    H = W = 16
+    feats = rng.randn(B, N, C).astype(np.float32)
+    ids = rng.randint(0, H * W, (B, N)).astype(np.int32)
+    valid = rng.rand(B, N) > 0.3
+    ids_s = np.where(valid, ids, H * W).astype(np.int32)
+    w = rng.randn(B, H, W, C).astype(np.float32)
+
+    def loss_xla(f):
+        g, _ = scatter_max_to_grid(f, jnp.array(ids_s), jnp.array(valid), H, W)
+        return (g * w).sum()
+
+    def loss_pallas(f):
+        with pltpu.force_tpu_interpret_mode():
+            g, _ = pillar_scatter_max_pallas(
+                f, jnp.array(ids_s), jnp.array(valid), H, W, 4
+            )
+        return (g * w).sum()
+
+    g_xla = np.asarray(jax.grad(loss_xla)(jnp.array(feats)))
+    g_pal = np.asarray(jax.grad(loss_pallas)(jnp.array(feats)))
+    np.testing.assert_allclose(g_pal, g_xla, atol=1e-6)
