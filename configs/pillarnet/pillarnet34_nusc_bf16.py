@@ -75,7 +75,6 @@ train_cfg = dict(
 test_cfg = dict(
     nms=dict(
         use_rotate_nms=True,
-        approx_topk=True,  # TPU-native approximate candidate pre-selection
         nms_pre_max_size=1000,
         nms_post_max_size=83,
         nms_iou_threshold=0.2,
