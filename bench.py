@@ -91,14 +91,18 @@ def main():
         "vs_baseline": round(1.0 / bf16_t / BASELINE_FPS, 3),
         "p50_latency_ms": round(bf16_t * 1000, 2),
     }
-    try:
-        fp32_t = _measure(
-            os.path.join(root, "configs/pillarnet/pillarnet34_nusc.py")
-        )
-        record["fp32_fps"] = round(1.0 / fp32_t, 3)
-        record["fp32_p50_latency_ms"] = round(fp32_t * 1000, 2)
-    except Exception as e:  # headline must survive a secondary failure
-        record["fp32_error"] = str(e)[:200]
+
+    # secondary fp32 measurement only with --full (another long remote
+    # compile; the headline must not risk a harness timeout)
+    if "--full" in sys.argv:
+        try:
+            fp32_t = _measure(
+                os.path.join(root, "configs/pillarnet/pillarnet34_nusc.py")
+            )
+            record["fp32_fps"] = round(1.0 / fp32_t, 3)
+            record["fp32_p50_latency_ms"] = round(fp32_t * 1000, 2)
+        except Exception as e:
+            record["fp32_error"] = str(e)[:200]
     print(json.dumps(record))
 
 
