@@ -39,6 +39,7 @@ class PillarRCNN(nn.Module):
     point_head: Optional[dict] = None
     num_point: int = 1
     freeze: bool = False
+    use_final_feature: bool = False
     train_cfg: Optional[dict] = None
     test_cfg: Optional[dict] = None
     pretrained: Optional[str] = None
@@ -136,12 +137,9 @@ class PillarRCNN(nn.Module):
             out["roi_labels"] = roi_labels
             out["roi_scores"] = roi_scores
 
-        bev_feature = bev[-1]
-        roi_feats = point_feats = point_coords = None
-        for module in self.second_stage:
-            roi_feats, point_feats, point_coords = module(
-                bev_feature, feats, rois_used, train
-            )
+        roi_feats, point_feats, point_coords = self._pool_second_stage(
+            bev, feats, rois_used, train
+        )
         out["point_coords"] = point_coords
 
         if self.point_head is not None:
@@ -165,6 +163,17 @@ class PillarRCNN(nn.Module):
             out["batch_cls_preds"] = batch_cls_preds
             out["batch_box_preds"] = batch_box_preds
         return out
+
+    def _pool_second_stage(self, bev, feats, rois_used, train):
+        """RoI-grid pooling over the last neck map (overridden by the legacy
+        box-center-pooling `TwoStageDetector`)."""
+        bev_feature = bev[-1]
+        roi_feats = point_feats = point_coords = None
+        for module in self.second_stage:
+            roi_feats, point_feats, point_coords = module(
+                bev_feature, feats, rois_used, train
+            )
+        return roi_feats, point_feats, point_coords
 
     @nn.nowrap
     def model_cfg_att(self):
