@@ -24,6 +24,7 @@ from ..registry import DETECTORS
 from ..roi_heads.proposal_target_layer import proposal_target_layer
 from ..roi_heads.roi_head_template import (
     box_cls_layer_loss,
+    box_iou_layer_loss,
     box_reg_layer_loss,
     canonicalize_roi_targets,
     generate_predicted_boxes,
@@ -150,11 +151,23 @@ class PillarRCNN(nn.Module):
                 point_feats = point_feats * scores
                 roi_feats = point_feats.reshape(roi_feats.shape)
 
-        rcnn_cls, rcnn_reg = self.roi_head_net(
+        head_out = self.roi_head_net(
             roi_feats, rois_used, roi_scores_used, train
         )
+        if len(head_out) == 3:
+            # IoU-branch heads (RoIFFNHead, `roi_ffn_head.py:113-131`)
+            rcnn_cls, rcnn_reg, rcnn_iou = head_out
+            out["rcnn_iou"] = rcnn_iou
+        else:
+            rcnn_cls, rcnn_reg = head_out
         out["rcnn_cls"] = rcnn_cls
         out["rcnn_reg"] = rcnn_reg
+
+        if train and "rcnn_iou" in out:
+            # decoded (detached) boxes are the IoU-loss operand
+            # (`roi_head_template.py:121-132`)
+            _, bbp = generate_predicted_boxes(rois_used, rcnn_cls, rcnn_reg)
+            out["batch_box_preds_det"] = jax.lax.stop_gradient(bbp)
 
         if not train:
             batch_cls_preds, batch_box_preds = generate_predicted_boxes(
@@ -215,6 +228,14 @@ class PillarRCNN(nn.Module):
         )
         roi_loss = rcnn_loss_cls + rcnn_loss_reg
 
+        if "rcnn_iou" in out:
+            rcnn_loss_iou = box_iou_layer_loss(
+                out["rcnn_iou"], targets["reg_valid_mask"],
+                targets["gt_of_rois_src"], out["batch_box_preds_det"],
+                weight=weights.get("rcnn_iou_weight", 1.0),
+            )
+            roi_loss = roi_loss + rcnn_loss_iou
+
         point_loss = 0.0
         if "point_logits" in out:
             labels = assign_point_targets_2d(
@@ -228,6 +249,8 @@ class PillarRCNN(nn.Module):
         n_tasks = len(one_stage_loss["loss"])
         one_stage_loss["roi_reg_loss"] = [rcnn_loss_reg] * n_tasks
         one_stage_loss["roi_cls_loss"] = [rcnn_loss_cls] * n_tasks
+        if "rcnn_iou" in out:
+            one_stage_loss["roi_iou_loss"] = [rcnn_loss_iou] * n_tasks
         if "point_logits" in out:
             one_stage_loss["point_loss"] = [point_loss] * n_tasks
         one_stage_loss["loss"][0] = one_stage_loss["loss"][0] + roi_loss + point_loss

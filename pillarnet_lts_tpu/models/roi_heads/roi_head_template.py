@@ -96,6 +96,23 @@ def box_reg_layer_loss(rcnn_reg, reg_valid_mask, gt_of_rois, code_weights,
     return loss * weight
 
 
+def box_iou_layer_loss(rcnn_iou, reg_valid_mask, gt_of_rois_src,
+                       batch_box_preds, weight=1.0):
+    """IoU-branch L1 loss (`roi_head_template.py:117-147`): target is
+    2*IoU3d(decoded box, gt) - 1 over fg rois, decoded boxes detached.
+    Padded/background rows are masked by reg_valid_mask, so their degenerate
+    zero boxes never contribute."""
+    from ...ops.iou3d import boxes_aligned_iou3d
+
+    preds = jax.lax.stop_gradient(batch_box_preds[..., :7].reshape(-1, 7))
+    gt = gt_of_rois_src[..., :7].reshape(-1, 7)
+    fg = (reg_valid_mask.reshape(-1) > 0).astype(jnp.float32)
+    iou_targets = 2.0 * boxes_aligned_iou3d(preds, gt) - 1.0
+    per = jnp.abs(rcnn_iou.reshape(-1) - iou_targets)
+    loss = (per * fg).sum() / jnp.maximum(fg.sum(), 1.0)
+    return loss * weight
+
+
 def generate_predicted_boxes(rois, cls_preds, box_preds):
     """Canonical-frame residuals -> world boxes (`:189-219`).
 

@@ -1,3 +1,3 @@
-from .norm import MaskedBatchNorm, get_norm_kwargs
+from .norm import MaskedBatchNorm, MaskedGroupNorm, build_norm, get_norm_kwargs
 
-__all__ = ["MaskedBatchNorm", "get_norm_kwargs"]
+__all__ = ["MaskedBatchNorm", "MaskedGroupNorm", "build_norm", "get_norm_kwargs"]

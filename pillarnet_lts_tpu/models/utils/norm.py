@@ -86,6 +86,78 @@ class MaskedBatchNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+class MaskedGroupNorm(nn.Module):
+    """GroupNorm with optional sparse-site statistics.
+
+    The reference's ``build_norm_layer`` dispatches ``dict(type="GN")`` to
+    ``nn.GroupNorm`` (`det3d/models/utils/norm.py:63,98-104`); no live config
+    uses it, but the capability is part of the norm-layer surface. Stats are
+    per (sample, group) over spatial sites x in-group channels; with a mask,
+    only active sites contribute and inactive sites are re-zeroed, matching
+    MaskedBatchNorm's convention.
+    """
+
+    features: int
+    num_groups: int = 32
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = True):
+        """x: (B, ..., C); mask: bool broadcastable to x.shape[:-1] or None."""
+        if self.features % self.num_groups:
+            raise ValueError(
+                f"features={self.features} not divisible by "
+                f"num_groups={self.num_groups}"
+            )
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+
+        B = x.shape[0]
+        cg = self.features // self.num_groups
+        xf = x.astype(jnp.float32).reshape(B, -1, self.num_groups, cg)
+        if mask is None:
+            w = jnp.ones((B, xf.shape[1], 1, 1), jnp.float32)
+        else:
+            w = jnp.broadcast_to(
+                mask.astype(jnp.float32)[..., None], x.shape[:-1] + (1,)
+            ).reshape(B, -1, 1, 1)
+
+        cnt = jnp.maximum(w.sum(axis=1, keepdims=True) * cg, 1.0)  # (B,1,1,1)
+        mean = (xf * w).sum(axis=(1, 3), keepdims=True) / cnt
+        var = (jnp.square(xf - mean) * w).sum(axis=(1, 3), keepdims=True) / cnt
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y.reshape(x.shape) * scale + bias
+        if mask is not None:
+            y = y * mask.astype(y.dtype)[..., None]
+        return y.astype(self.dtype)
+
+
+def build_norm(norm_cfg, features, dtype=jnp.float32):
+    """Norm-layer factory mirroring the reference's ``build_norm_layer``
+    dispatch (`det3d/models/utils/norm.py:55-104`): BN/BN1d/SyncBN ->
+    MaskedBatchNorm (mask at call time selects sparse vs dense statistics,
+    named-axis psum replaces apex syncBN), GN -> MaskedGroupNorm."""
+    cfg = dict(norm_cfg or {"type": "BN"})
+    t = cfg.pop("type", "BN")
+    cfg.pop("requires_grad", None)  # torch-only knob in reference configs
+    if t in ("BN", "BN1d", "SyncBN"):
+        return MaskedBatchNorm(
+            features, momentum=cfg.get("momentum", 0.01),
+            eps=cfg.get("eps", 1e-3), dtype=dtype,
+        )
+    if t == "GN":
+        return MaskedGroupNorm(
+            features, num_groups=cfg.get("num_groups", 32),
+            eps=cfg.get("eps", 1e-5), dtype=dtype,
+        )
+    raise NotImplementedError(f"norm type {t} not supported")
+
+
 def get_norm_kwargs(norm_cfg):
     """Translate a reference-style norm config dict
     (e.g. ``dict(type="BN1d", momentum=0.01, eps=1e-3)``) into

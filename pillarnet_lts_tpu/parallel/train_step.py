@@ -43,8 +43,8 @@ def make_train_step(model, tx, train_cfg, rng_seed=0):
 
         metrics = {"loss": loss}
         for k in ("hm_loss", "loc_loss", "iou_loss", "reg_iou_loss",
-                  "roi_reg_loss", "roi_cls_loss", "point_loss",
-                  "num_positive"):
+                  "roi_reg_loss", "roi_cls_loss", "roi_iou_loss",
+                  "point_loss", "num_positive"):
             if k in losses:
                 for t, v in enumerate(losses[k]):
                     metrics[f"{k}_task{t}"] = v

@@ -126,3 +126,28 @@ def test_iou_loss_uses_aligned_rotated_iou():
     pred = np.stack([flat[b, ind[b]] for b in range(B)])
     want = np.abs(pred - 1.0).sum() / (mask.sum() + 1e-4)
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_box_iou_layer_loss_oracle():
+    """IoU-branch L1 target is 2*IoU-1 over fg rows (`roi_head_template.py:117-147`)."""
+    import jax.numpy as jnp
+    from pillarnet_lts_tpu.models.roi_heads.roi_head_template import (
+        box_iou_layer_loss,
+    )
+
+    # one fg roi: pred box == gt box -> IoU 1 -> target 1; head says 0.2
+    preds = jnp.array([[[0.0, 0, 0, 2, 2, 2, 0], [5, 5, 0, 2, 2, 2, 0]]])
+    gt = preds
+    rcnn_iou = jnp.array([[0.2, -0.7]])
+    fg = jnp.array([[1, 0]])  # second row masked out
+    loss = float(box_iou_layer_loss(rcnn_iou, fg, gt, preds, weight=2.0))
+    # |0.2 - 1.0| / 1 * 2.0
+    assert abs(loss - 1.6) < 1e-5
+
+    # half-overlap fg box: shift x by 1 on a 2-wide box -> bev IoU 1/3
+    preds2 = jnp.array([[[1.0, 0, 0, 2, 2, 2, 0]]])
+    gt2 = jnp.array([[[0.0, 0, 0, 2, 2, 2, 0]]])
+    rcnn = jnp.array([[0.0]])
+    loss2 = float(box_iou_layer_loss(rcnn, jnp.array([[1]]), gt2, preds2))
+    want = abs(0.0 - (2 * (1 / 3) - 1))
+    assert abs(loss2 - want) < 1e-5

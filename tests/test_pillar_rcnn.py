@@ -256,3 +256,72 @@ def test_proposal_target_layer_quotas():
     # cls labels: fg -> 1, easy bg -> 0, ramp in between
     cls = np.asarray(t.rcnn_cls_labels)
     assert cls.min() >= 0.0 and cls.max() <= 1.0
+
+
+def test_roi_ffn_head_iou_branch_loss():
+    """RoIFFNHead's 3-output (cls, reg, iou) path: the IoU-branch L1 loss
+    (`roi_head_template.py:117-147`) must be wired into the combined loss."""
+    import copy
+
+    cfg = copy.deepcopy(MODEL_CFG)
+    cfg["roi_head"] = dict(
+        type="RoIFFNHead",
+        num_iou_fcs=1,
+        content_dim=32,
+        feedforward_channels=64,
+        code_size=7,
+        model_cfg=dict(
+            CLASS_AGNOSTIC=True,
+            TARGET_CONFIG=MODEL_CFG["roi_head"]["model_cfg"]["TARGET_CONFIG"],
+            LOSS_CONFIG=dict(
+                CLS_LOSS="BinaryCrossEntropy",
+                REG_LOSS="L1",
+                IOU_LOSS="L1",
+                LOSS_WEIGHTS={
+                    "rcnn_cls_weight": 1.0,
+                    "rcnn_reg_weight": 1.0,
+                    "rcnn_iou_weight": 1.0,
+                    "code_weights": [1.0] * 7,
+                },
+            ),
+        ),
+    )
+    model = build_detector(cfg, train_cfg=TRAIN_CFG, test_cfg=TEST_CFG)
+    pts, mask, gt = _inputs()
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
+        pts, mask, gt, train=True,
+    )
+    example = _targets()
+    example["gt_boxes_and_cls"] = gt
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            pts, mask, gt, train=True, mutable=["batch_stats"],
+            rngs={"sampler": jax.random.PRNGKey(2),
+                  "dropout": jax.random.PRNGKey(3)},
+        )
+        assert "rcnn_iou" in out
+        losses = model.loss(example, out, TRAIN_CFG)
+        return sum(losses["loss"]), losses
+
+    (loss, losses), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True)
+    )(variables["params"])
+    assert np.isfinite(float(loss))
+    assert "roi_iou_loss" in losses
+    assert np.isfinite(float(losses["roi_iou_loss"][0]))
+    assert all(
+        np.all(np.isfinite(np.asarray(g)))
+        for g in jax.tree_util.tree_leaves(grads)
+    )
+
+    # eval path still returns 2-output decode (cls branch scores the box)
+    @jax.jit
+    def infer(v, p, m):
+        out = model.apply(v, p, m, None, train=False)
+        return model.post_process(out)
+
+    det = infer(variables, pts, mask)
+    assert det["scores"].shape == (B, 32)
