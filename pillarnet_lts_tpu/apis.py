@@ -21,6 +21,21 @@ def build_model_from_cfg(cfg):
     )
 
 
+def optimizer_from_cfg(cfg, total_steps=1):
+    """Gradient transformation for a config. Checkpoint restore requires a
+    structurally identical opt_state, so every consumer (train, eval restore
+    skeletons) must build through here — grad-clip and freeze masking both
+    change the optax chain structure."""
+    grad_clip = None
+    if cfg.get("optimizer_config") and cfg.optimizer_config.get("grad_clip"):
+        grad_clip = cfg.optimizer_config["grad_clip"]["max_norm"]
+    frozen = ()
+    if cfg.model.get("type") == "PillarRCNN" and cfg.model.get("freeze"):
+        frozen = ("single_det",)
+    return build_optimizer(cfg.optimizer, cfg.lr_config, total_steps,
+                           grad_clip, frozen_prefixes=frozen)
+
+
 def train_detector(model, dataset, cfg, logger=None, resume_from=None):
     logger = logger or logging.getLogger("train")
 
@@ -35,14 +50,7 @@ def train_detector(model, dataset, cfg, logger=None, resume_from=None):
 
     total_epochs = cfg.total_epochs
     total_steps = total_epochs * len(loader)
-    grad_clip = None
-    if cfg.get("optimizer_config") and cfg.optimizer_config.get("grad_clip"):
-        grad_clip = cfg.optimizer_config["grad_clip"]["max_norm"]
-    frozen = ()
-    if cfg.model.get("type") == "PillarRCNN" and cfg.model.get("freeze"):
-        frozen = ("single_det",)
-    tx = build_optimizer(cfg.optimizer, cfg.lr_config, total_steps, grad_clip,
-                         frozen_prefixes=frozen)
+    tx = optimizer_from_cfg(cfg, total_steps)
 
     trainer = Trainer(
         model,

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...ops.nms import circle_nms, rotated_nms
+from ...ops.nms import circle_nms, rotated_nms, rotated_nms_dynamic
 from ..losses.centernet_loss import (
     fast_focal_loss,
     iou_loss,
@@ -475,6 +475,52 @@ class CenterHeadMath:
             if not isinstance(rects, (list, tuple)):
                 rects = [rects] * num_cls
 
+            if nms_cfg.get("group_classes", True):
+                # one batched graph for all classes: stack classes into the
+                # vmap batch, thread per-class thresholds as traced per-row
+                # operands, pad pre/post to the class max (per-row pre_limits
+                # + per-class output truncation keep results exactly equal to
+                # the per-class loop below)
+                pre_c = max(int(p) for p in pre_sizes)
+                post_c = max(int(p) for p in post_sizes)
+                bx_rep, sc_rep, lb_rep, vd_rep, os_rep = [], [], [], [], []
+                for k in range(num_cls):
+                    bx_rep.append(boxes_flat)
+                    sc_rep.append(scores)
+                    lb_rep.append(jnp.full_like(labels, k))
+                    vd_rep.append(valid & (labels == k))
+                    os_rep.append(
+                        jnp.power(scores, 1.0 - rects[k])
+                        * jnp.power(iou_flat, rects[k])
+                    )
+                thresh_rows = jnp.repeat(
+                    jnp.asarray([float(t) for t in threshs], jnp.float32), B
+                )
+                pre_rows = jnp.repeat(
+                    jnp.asarray([int(p) for p in pre_sizes], jnp.int32), B
+                )
+                out = _run_nms_batch(
+                    jnp.concatenate(bx_rep, 0), jnp.concatenate(sc_rep, 0),
+                    jnp.concatenate(lb_rep, 0), jnp.concatenate(vd_rep, 0),
+                    jnp.concatenate(os_rep, 0),
+                    pre_c, post_c,
+                    lambda bx, sc, vd, th: rotated_nms_dynamic(
+                        bx, sc, vd, th, post_c
+                    ),
+                    approx_topk=approx,
+                    pre_limits=pre_rows, extra=thresh_rows,
+                )
+                return tuple(
+                    jnp.concatenate(
+                        [
+                            out[i][k * B:(k + 1) * B, :int(post_sizes[k])]
+                            for k in range(num_cls)
+                        ],
+                        axis=1,
+                    )
+                    for i in range(4)
+                )
+
             outs = []
             for k in range(num_cls):
                 cls_valid = valid & (labels == k)
@@ -569,18 +615,27 @@ class CenterHead(nn.Module):
 
 
 def _run_nms_batch(boxes, scores, labels, valid, order_scores,
-                   pre_max, post_max, nms_fn, approx_topk=False):
+                   pre_max, post_max, nms_fn, approx_topk=False,
+                   pre_limits=None, extra=None):
     """Shared fixed-size pipeline: mask -> top-k by order_scores -> NMS ->
     first post_max kept. All per-sample, vmapped over the batch.
 
     approx_topk uses the TPU-native `lax.approx_max_k` (recall_target 0.99)
     for the candidate pre-selection — a few of the lowest-scoring of the
     pre_max candidates may be swapped, which is far below any detection that
-    survives NMS. Enabled per-config (`test_cfg.nms.approx_topk`)."""
+    survives NMS. Enabled per-config (`test_cfg.nms.approx_topk`).
+
+    pre_limits: optional (B,) int array — per-row effective pre size.
+      Candidates beyond a row's limit are invalidated, so rows with smaller
+      configured pre sizes behave exactly as if top-k'd at their own size
+      (greedy suppression is prefix-stable: appended invalid candidates can
+      never suppress earlier ones).
+    extra: optional (B,)-leading pytree of additional per-row operands
+      forwarded to nms_fn (e.g. a per-row IoU threshold)."""
 
     pre_max = min(pre_max, boxes.shape[1])
 
-    def one(bx, sc, lb, vd, osc):
+    def one(bx, sc, lb, vd, osc, pl, ex):
         key = jnp.where(vd, osc, -jnp.inf)
         if approx_topk:
             top_vals, top_idx = jax.lax.approx_max_k(
@@ -592,7 +647,12 @@ def _run_nms_batch(boxes, scores, labels, valid, order_scores,
         cand_scores = sc[top_idx]
         cand_labels = lb[top_idx]
         cand_valid = top_vals > -jnp.inf
-        sel_idx, sel_mask = nms_fn(cand_boxes, cand_scores, cand_valid)
+        if pre_limits is not None:
+            cand_valid = cand_valid & (jnp.arange(pre_max) < pl)
+        if extra is not None:
+            sel_idx, sel_mask = nms_fn(cand_boxes, cand_scores, cand_valid, ex)
+        else:
+            sel_idx, sel_mask = nms_fn(cand_boxes, cand_scores, cand_valid)
         return (
             cand_boxes[sel_idx],
             cand_scores[sel_idx] * sel_mask,
@@ -600,7 +660,14 @@ def _run_nms_batch(boxes, scores, labels, valid, order_scores,
             sel_mask,
         )
 
-    return jax.vmap(one)(boxes, scores, labels, valid, order_scores)
+    in_axes = (0, 0, 0, 0, 0,
+               0 if pre_limits is not None else None,
+               0 if extra is not None else None)
+    pl = pre_limits if pre_limits is not None else jnp.zeros((), jnp.int32)
+    ex = extra if extra is not None else jnp.zeros(())
+    return jax.vmap(one, in_axes=in_axes)(
+        boxes, scores, labels, valid, order_scores, pl, ex
+    )
 
 
 def _average_double_flip(preds_dict):

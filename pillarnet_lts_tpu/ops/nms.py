@@ -140,6 +140,21 @@ def rotated_nms(
 
 
 @partial(jax.jit, static_argnames=("post_max_size",))
+def rotated_nms_dynamic(boxes, scores, valid, nms_thresh, post_max_size):
+    """`rotated_nms` with a *traced* IoU threshold.
+
+    Used by the grouped multi-class post-processing path, where classes with
+    different thresholds share one batched NMS graph and the threshold varies
+    per vmap row (a scalar array operand instead of a static python float).
+    """
+    del scores  # passthrough convention kept for signature parity
+    bev = to_pcdet_bev(boxes)
+    iou = rotated_iou_bev(bev, bev)
+    keep = _greedy_suppress(iou, valid, nms_thresh)
+    return _select_topk_sorted(keep, post_max_size)
+
+
+@partial(jax.jit, static_argnames=("post_max_size",))
 def circle_nms(centers, valid, min_radius, post_max_size):
     """Center-distance greedy suppression (`circle_nms_jit.py:5-28`).
 

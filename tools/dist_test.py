@@ -20,14 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
-from pillarnet_lts_tpu.apis import build_model_from_cfg
+from pillarnet_lts_tpu.apis import build_model_from_cfg, optimizer_from_cfg
 from pillarnet_lts_tpu.datasets import build_dataset
 from pillarnet_lts_tpu.datasets.loader import build_dataloader
 from pillarnet_lts_tpu.eval_utils import detections_to_host
 from pillarnet_lts_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from pillarnet_lts_tpu.parallel.train_state import TrainState
 from pillarnet_lts_tpu.runtime import load_checkpoint
-from pillarnet_lts_tpu.solver import build_optimizer
 from pillarnet_lts_tpu.utils.config import Config
 
 
@@ -79,7 +78,7 @@ def main():
         jnp.asarray(first["points_mask"]),
         train=False,
     )
-    tx = build_optimizer(cfg.optimizer, cfg.lr_config, 1, None)
+    tx = optimizer_from_cfg(cfg)
     state = TrainState.create(variables, tx)
     state, meta = load_checkpoint(args.checkpoint, target_state=state)
     state = replicate(state, mesh)
