@@ -109,6 +109,16 @@ data = dict(
         class_names=class_names,
         pipeline=train_pipeline,
     ),
+    # keeps tools/dist_test.py runnable end-to-end without real data
+    val=dict(
+        type=dataset_type,
+        num_frames=4,
+        num_points=4096,
+        pc_range=point_cloud_range,
+        class_names=class_names,
+        pipeline=[dict(type="Reformat")],
+        test_mode=True,
+    ),
 )
 
 optimizer_config = dict(grad_clip=dict(max_norm=35, norm_type=2))
