@@ -94,6 +94,10 @@ def main():
         )
         return model.predict({}, preds, test_cfg)
 
+    # double-flip TTA: the loader carries 4 flipped variants per frame
+    # (identical metadata x4); predict averages them back to one row
+    double_flip = bool(dict(cfg.test_cfg).get("double_flip", False))
+
     detections = {}
     times = []
     n_batches = len(loader)
@@ -104,7 +108,8 @@ def main():
         det = infer(state.params, state.batch_stats, pts, msk)
         jax.block_until_ready(det)
         times.append(time.perf_counter() - t0)
-        for sample in detections_to_host(det, batch["metadata"]):
+        metas = batch["metadata"][::4] if double_flip else batch["metadata"]
+        for sample in detections_to_host(det, metas):
             token = sample["metadata"]["token"]
             detections[token] = sample
         if i % 50 == 0:
