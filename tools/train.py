@@ -50,6 +50,9 @@ def main():
         cfg.work_dir = args.work_dir
     os.makedirs(cfg.work_dir, exist_ok=True)
 
+    # force=True: a library import (absl/orbax) may already have configured
+    # the root logger, which turns a plain basicConfig into a no-op and
+    # leaves train.log empty
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
@@ -57,6 +60,7 @@ def main():
             logging.StreamHandler(),
             logging.FileHandler(os.path.join(cfg.work_dir, "train.log")),
         ],
+        force=True,
     )
     logger = logging.getLogger("train")
 
