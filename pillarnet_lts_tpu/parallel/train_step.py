@@ -42,11 +42,12 @@ def make_train_step(model, tx, train_cfg, rng_seed=0):
         new_state = state.apply_gradients(tx, grads, new_bs)
 
         metrics = {"loss": loss}
-        for k in ("hm_loss", "loc_loss", "iou_loss", "reg_iou_loss",
-                  "roi_reg_loss", "roi_cls_loss", "roi_iou_loss",
-                  "point_loss", "num_positive"):
-            if k in losses:
-                for t, v in enumerate(losses[k]):
+        # every per-task scalar the loss dict carries (any *_loss list plus
+        # num_positive) is logged — no whitelist to fall out of date when a
+        # head adds a new loss term
+        for k, vals in losses.items():
+            if k != "loss" and (k.endswith("_loss") or k == "num_positive"):
+                for t, v in enumerate(vals):
                     metrics[f"{k}_task{t}"] = v
         metrics["grad_norm"] = jax.tree_util.tree_reduce(
             lambda a, g: a + jnp.sum(jnp.square(g)), grads, jnp.asarray(0.0)
