@@ -132,14 +132,22 @@ class CenterHeadMath:
         return 9 if "vel" in self.common_heads else 7
 
     # ---- shared decode --------------------------------------------------------
-    def _decode_dense_boxes(self, preds_dict, task_id, with_vel):
+    def _decode_dense_boxes(self, preds_dict, task_id, with_vel,
+                            pre_activated=False):
         """reg/height/dim/rot maps -> metric (B, H, W, D) boxes
         (`center_head.py:171-189` / `:306-326`). Decode math runs in fp32
-        regardless of the network compute dtype."""
+        regardless of the network compute dtype.
+
+        pre_activated: the double-flip TTA path averages exp-clamped dims
+        across the 4 flip variants *before* decode (`center_head.py:258,278`),
+        so `dim` arrives already in metric space."""
         preds_dict = {
             k: v.astype(jnp.float32) for k, v in preds_dict.items()
         }
-        batch_dim = jnp.exp(jnp.clip(preds_dict["dim"], -1.2, 3.2))
+        if pre_activated:
+            batch_dim = preds_dict["dim"]
+        else:
+            batch_dim = jnp.exp(jnp.clip(preds_dict["dim"], -1.2, 3.2))
         batch_rot = jnp.arctan2(
             preds_dict["rot"][..., 0:1], preds_dict["rot"][..., 1:2]
         )
@@ -202,10 +210,18 @@ class CenterHeadMath:
                 anno_box, example["mask"][task_id], example["ind"][task_id],
                 target_box,
             )
-            code_weights = jnp.asarray(
-                list(self.code_weights), dtype=box_loss.dtype
-            )
-            loc_loss = (box_loss * code_weights[: box_loss.shape[0]]).sum()
+            cw = list(self.code_weights)
+            if len(cw) == box_loss.shape[0] + 2 and "vel" not in preds_dict:
+                # nuScenes-style 10 weights on a no-vel task: drop the vx/vy
+                # slots, mirroring the target_box index selection above
+                cw = cw[:6] + cw[-2:]
+            if len(cw) != box_loss.shape[0]:
+                raise ValueError(
+                    f"code_weights has {len(self.code_weights)} entries but "
+                    f"the box regression target has {box_loss.shape[0]} dims"
+                )
+            code_weights = jnp.asarray(cw, dtype=box_loss.dtype)
+            loc_loss = (box_loss * code_weights).sum()
 
             loss = (
                 hm_loss * train_cfg["hm_weight"]
@@ -260,7 +276,10 @@ class CenterHeadMath:
         """Decode + on-device post-processing. Returns a dict of padded
         arrays: box3d_lidar (B, K, D), scores (B, K), label_preds (B, K),
         mask (B, K). K = sum of per-task post_max sizes."""
-        if test_cfg.get("double_flip", False):
+        pre_activated = bool(test_cfg.get("double_flip", False))
+        if pre_activated:
+            # averaging applies sigmoid/exp/clamp first (reference ordering,
+            # `center_head.py:257-303`) so hm/dim/iou arrive pre-activated
             preds_dicts = [_average_double_flip(pd) for pd in preds_dicts]
 
         # Per-task decode + candidate masking, then tasks with identical
@@ -276,13 +295,21 @@ class CenterHeadMath:
                 k: v.astype(jnp.float32) for k, v in preds_dict.items()
             }
             with_vel = "vel" in preds_dict
-            batch_hm = jax.nn.sigmoid(preds_dict["hm"])
-            box_preds = self._decode_dense_boxes(preds_dict, task_id, with_vel)
+            if pre_activated:
+                batch_hm = preds_dict["hm"]
+            else:
+                batch_hm = jax.nn.sigmoid(preds_dict["hm"])
+            box_preds = self._decode_dense_boxes(
+                preds_dict, task_id, with_vel, pre_activated=pre_activated
+            )
 
             if "iou" in preds_dict:
-                batch_iou = jnp.clip(
-                    (preds_dict["iou"][..., 0] + 1.0) * 0.5, 0.0, 1.0
-                )
+                if pre_activated:
+                    batch_iou = preds_dict["iou"][..., 0]
+                else:
+                    batch_iou = jnp.clip(
+                        (preds_dict["iou"][..., 0] + 1.0) * 0.5, 0.0, 1.0
+                    )
             else:
                 batch_iou = jnp.ones(batch_hm.shape[:3], batch_hm.dtype)
 
@@ -374,6 +401,7 @@ class CenterHeadMath:
                              iou_flat, test_cfg):
         """Shared candidate filtering + NMS on pre-flattened (B', P, *) maps."""
         nms_cfg = test_cfg["nms"]
+        sweeps = int(nms_cfg.get("nms_sweeps", 16))
         approx = bool(nms_cfg.get("approx_topk", False))
 
         def _task_param(p):
@@ -408,7 +436,8 @@ class CenterHeadMath:
         return _run_nms_batch(
             boxes_flat, scores, labels, valid, rect_scores,
             pre_max, post_max,
-            lambda bx, sc, vd: rotated_nms(bx, sc, vd, thresh, post_max),
+            lambda bx, sc, vd: rotated_nms(bx, sc, vd, thresh, post_max,
+                                           sweeps=sweeps),
             approx_topk=approx,
         )
 
@@ -432,6 +461,7 @@ class CenterHeadMath:
         valid = (scores > test_cfg["score_threshold"]) & dist_ok
 
         nms_cfg = test_cfg["nms"]
+        sweeps = int(nms_cfg.get("nms_sweeps", 16))
         approx = bool(nms_cfg.get("approx_topk", False))
 
         def _task_param(p):
@@ -461,7 +491,8 @@ class CenterHeadMath:
             return _run_nms_batch(
                 boxes_flat, scores, labels, valid, rect_scores,
                 pre_max, post_max,
-                lambda bx, sc, vd: rotated_nms(bx, sc, vd, thresh, post_max),
+                lambda bx, sc, vd: rotated_nms(bx, sc, vd, thresh, post_max,
+                                           sweeps=sweeps),
                 approx_topk=approx,
             )
 
@@ -505,7 +536,7 @@ class CenterHeadMath:
                     jnp.concatenate(os_rep, 0),
                     pre_c, post_c,
                     lambda bx, sc, vd, th: rotated_nms_dynamic(
-                        bx, sc, vd, th, post_c
+                        bx, sc, vd, th, post_c, sweeps=sweeps
                     ),
                     approx_topk=approx,
                     pre_limits=pre_rows, extra=thresh_rows,
@@ -533,7 +564,7 @@ class CenterHeadMath:
                         cls_valid, rect_scores,
                         int(pre_sizes[k]), int(post_sizes[k]),
                         lambda bx, sc, vd, _t=threshs[k], _p=int(post_sizes[k]):
-                            rotated_nms(bx, sc, vd, _t, _p),
+                            rotated_nms(bx, sc, vd, _t, _p, sweeps=sweeps),
                         approx_topk=approx,
                     )
                 )
@@ -672,15 +703,27 @@ def _run_nms_batch(boxes, scores, labels, valid, order_scores,
 
 def _average_double_flip(preds_dict):
     """Double-flip TTA averaging (`center_head.py:233-304`): batch comes in
-    groups of 4 (orig, y-flip, x-flip, xy-flip)."""
+    groups of 4 (orig, y-flip, x-flip, xy-flip).
+
+    Matches the reference ordering: hm is sigmoided, dim exp-clamped and iou
+    (iou+1)/2-clamped *before* the 4-variant mean (`center_head.py:257-303`
+    computes the activations first, then `.mean(dim=1)`); reg/rot/height/vel
+    average raw after geometric unflipping. The returned hm/dim/iou are
+    therefore pre-activated — `predict` must not re-apply the activations."""
     out = {}
     for k, v in preds_dict.items():
+        v = v.astype(jnp.float32)
         Bq, H, W, C = v.shape
         v = v.reshape(Bq // 4, 4, H, W, C)
         v1 = jnp.flip(v[:, 1], axis=1)
         v2 = jnp.flip(v[:, 2], axis=2)
         v3 = jnp.flip(v[:, 3], axis=(1, 2))
         out[k] = jnp.stack([v[:, 0], v1, v2, v3], axis=1)
+
+    out["hm"] = jax.nn.sigmoid(out["hm"])
+    out["dim"] = jnp.exp(jnp.clip(out["dim"], -1.2, 3.2))
+    if "iou" in out:
+        out["iou"] = jnp.clip((out["iou"] + 1.0) * 0.5, 0.0, 1.0)
 
     # undo geometric flips on regression targets before averaging
     reg = out["reg"]

@@ -26,14 +26,21 @@ def _load():
         return _LIB
     _TRIED = True
     so_path = os.path.join(_CSRC, "libpillar_pipeline.so")
-    if not os.path.exists(so_path):
+    src_path = os.path.join(_CSRC, "pillar_pipeline.cpp")
+    stale = (
+        not os.path.exists(so_path)
+        or os.path.getmtime(so_path) < os.path.getmtime(src_path)
+    )
+    if stale:
+        # the .so is never committed (built artifact); (re)build from source
         try:
             subprocess.run(
                 ["make", "-C", _CSRC], check=True, capture_output=True,
                 timeout=120,
             )
         except Exception:
-            return None
+            if not os.path.exists(so_path):
+                return None
     try:
         lib = ctypes.CDLL(so_path)
     except OSError:

@@ -91,7 +91,8 @@ def _greedy_suppress_mask(m, valid, sweeps=_NMS_SWEEPS):
 
 
 @partial(jax.jit,
-         static_argnames=("nms_thresh", "post_max_size", "use_pallas"))
+         static_argnames=("nms_thresh", "post_max_size", "use_pallas",
+                          "sweeps"))
 def rotated_nms(
     boxes,
     scores,
@@ -99,6 +100,7 @@ def rotated_nms(
     nms_thresh,
     post_max_size,
     use_pallas=None,
+    sweeps=_NMS_SWEEPS,
 ):
     """Greedy rotated-BEV NMS over score-sorted, fixed-size candidates.
 
@@ -116,6 +118,9 @@ def rotated_nms(
       use_pallas: True/False/None(auto) — the Pallas pairwise-suppression
         kernel keeps every candidate tensor in VMEM (the jnp path streams
         (K, K, 32) temporaries through HBM, ~60 ms per 1000^2 block).
+      sweeps: number of unrolled fixpoint sweeps — exact greedy for all
+        suppression chains up to this depth (configurable per call via
+        `test_cfg.nms.nms_sweeps` for dense low-threshold workloads).
 
     Returns:
       (sel_idx, sel_mask): indices into the K candidates (post_max_size,)
@@ -130,17 +135,18 @@ def rotated_nms(
         from .pallas.nms_kernel import suppression_matrix_pallas
 
         m = suppression_matrix_pallas(boxes, float(nms_thresh))
-        keep = _greedy_suppress_mask(m, valid)
+        keep = _greedy_suppress_mask(m, valid, sweeps=sweeps)
         return _select_topk_sorted(keep, post_max_size)
 
     bev = to_pcdet_bev(boxes)
     iou = rotated_iou_bev(bev, bev)
-    keep = _greedy_suppress(iou, valid, nms_thresh)
+    keep = _greedy_suppress(iou, valid, nms_thresh, sweeps=sweeps)
     return _select_topk_sorted(keep, post_max_size)
 
 
-@partial(jax.jit, static_argnames=("post_max_size",))
-def rotated_nms_dynamic(boxes, scores, valid, nms_thresh, post_max_size):
+@partial(jax.jit, static_argnames=("post_max_size", "sweeps"))
+def rotated_nms_dynamic(boxes, scores, valid, nms_thresh, post_max_size,
+                        sweeps=_NMS_SWEEPS):
     """`rotated_nms` with a *traced* IoU threshold.
 
     Used by the grouped multi-class post-processing path, where classes with
@@ -150,7 +156,7 @@ def rotated_nms_dynamic(boxes, scores, valid, nms_thresh, post_max_size):
     del scores  # passthrough convention kept for signature parity
     bev = to_pcdet_bev(boxes)
     iou = rotated_iou_bev(bev, bev)
-    keep = _greedy_suppress(iou, valid, nms_thresh)
+    keep = _greedy_suppress(iou, valid, nms_thresh, sweeps=sweeps)
     return _select_topk_sorted(keep, post_max_size)
 
 

@@ -141,13 +141,19 @@ class Trainer:
         self.epoch += 1
 
     def val(self, data_loader, dataset, output_dir=None):
-        """Validation loop (`trainer.py:438-494`): run inference over the val
-        loader, gather per-sample detections, call dataset.evaluation."""
-        import jax.numpy as jnp
-
+        """Validation loop (`trainer.py:438-494`): run mesh-sharded inference
+        over the val loader, gather per-sample detections across hosts
+        (`trainer/utils.py:114` all_gather), call dataset.evaluation."""
         from ..eval_utils import detections_to_host
+        from ..parallel.dist import (
+            all_gather_objects,
+            merge_detection_dicts,
+            process_count,
+            sync_global_devices,
+        )
 
         model = self.model
+        test_cfg = model.processed_test_cfg()
 
         @jax.jit
         def infer(params, batch_stats, points, points_mask):
@@ -155,18 +161,32 @@ class Trainer:
                 {"params": params, "batch_stats": batch_stats},
                 points, points_mask, train=False,
             )
-            return model.predict({}, preds, model.processed_test_cfg())
+            return model.predict({}, preds, test_cfg)
 
         detections = {}
         for i, batch in enumerate(data_loader):
+            device_batch = self._to_device(
+                {"points": batch["points"], "points_mask": batch["points_mask"]}
+            )
             det = infer(
                 self.state.params, self.state.batch_stats,
-                jnp.asarray(batch["points"]), jnp.asarray(batch["points_mask"]),
+                device_batch["points"], device_batch["points_mask"],
             )
-            for sample in detections_to_host(det, batch["metadata"]):
+            metas = batch["metadata"]
+            if test_cfg.get("double_flip", False):
+                # predict collapses the 4-variant groups to B/4 rows; keep one
+                # metadata entry per frame (mirrors tools/dist_test.py)
+                metas = metas[::4]
+            for sample in detections_to_host(det, metas):
                 detections[sample["metadata"]["token"]] = sample
             if i % 50 == 0:
                 self.logger.info("val batch %d/%d", i, len(data_loader))
+
+        if process_count() > 1:
+            sync_global_devices("val_gather")
+            detections = merge_detection_dicts(all_gather_objects(detections))
+            if jax.process_index() != 0:
+                return detections
 
         out_dir = output_dir or os.path.join(self.work_dir, "eval")
         os.makedirs(out_dir, exist_ok=True)
@@ -176,14 +196,40 @@ class Trainer:
                 self.logger.info("Evaluation %s: %s", k, v)
         return detections
 
-    def run(self, data_loader, max_epochs):
+    def run(self, data_loader, max_epochs, workflow=None, val_loader=None,
+            val_dataset=None):
+        """Run a (train[, val]) workflow (`trainer.py:511-560`).
+
+        workflow: list of (mode, epochs) pairs, e.g. [('train', 5), ('val', 1)]
+        — cycled until `max_epochs` *training* epochs have run, exactly like
+        the reference. Default [('train', 1)] preserves the train-only loop.
+        'val' entries require val_loader (+ val_dataset for metrics; defaults
+        to val_loader.dataset).
+        """
+        workflow = list(workflow or [("train", 1)])
+        for mode, _ in workflow:
+            if mode not in ("train", "val"):
+                raise ValueError(f"unknown workflow mode {mode!r}")
+        if any(m == "val" for m, _ in workflow) and val_loader is None:
+            raise ValueError("val in workflow requires val_loader")
+
         self.max_epochs = max_epochs
         self.max_iters = max_epochs * len(data_loader)
         self.logger.info(
-            "Start running, work_dir: %s, max epochs: %d", self.work_dir,
-            max_epochs,
+            "Start running, work_dir: %s, workflow: %s, max epochs: %d",
+            self.work_dir, workflow, max_epochs,
         )
         self.call_hook("before_run")
         while self.epoch < max_epochs:
-            self.train_epoch(data_loader)
+            for mode, epochs in workflow:
+                for _ in range(epochs):
+                    if mode == "train":
+                        if self.epoch >= max_epochs:
+                            break
+                        self.train_epoch(data_loader)
+                    else:
+                        self.val(
+                            val_loader,
+                            val_dataset or getattr(val_loader, "dataset", None),
+                        )
         self.call_hook("after_run")

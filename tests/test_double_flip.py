@@ -71,7 +71,45 @@ def test_average_double_flip_identity_on_consistent_groups():
 
     preds = {k: jnp.asarray(v) for k, v in g.items()}
     out = _average_double_flip(preds)
+    # hm/dim come back PRE-ACTIVATED (reference averages sigmoid(hm) and
+    # exp(clamped dim) across the variants, `center_head.py:257-303`); on
+    # geometrically-consistent groups that equals activating the base map.
+    expected = dict(base)
+    expected["hm"] = 1.0 / (1.0 + np.exp(-base["hm"]))
+    expected["dim"] = np.exp(np.clip(base["dim"], -1.2, 3.2))
     for k in base:
         np.testing.assert_allclose(
-            np.asarray(out[k]), base[k], atol=1e-6, err_msg=k
+            np.asarray(out[k]), expected[k], atol=1e-6, err_msg=k
         )
+
+
+def test_average_double_flip_activation_before_mean():
+    """Inconsistent variants expose the averaging order: the reference takes
+    mean-of-sigmoid / mean-of-exp, NOT sigmoid-of-mean / exp-of-mean."""
+    rng = np.random.RandomState(5)
+    hm = rng.randn(4, 2, 2, 1).astype(np.float32) * 3
+    dim = rng.randn(4, 2, 2, 3).astype(np.float32)
+    iou = rng.randn(4, 2, 2, 1).astype(np.float32)
+    preds = {
+        "hm": jnp.asarray(hm),
+        "dim": jnp.asarray(dim),
+        "iou": jnp.asarray(iou),
+        "reg": jnp.zeros((4, 2, 2, 2), np.float32),
+        "rot": jnp.zeros((4, 2, 2, 2), np.float32),
+        "height": jnp.zeros((4, 2, 2, 1), np.float32),
+    }
+    out = _average_double_flip(preds)
+
+    def unflip(v):
+        v = v.reshape(1, 4, 2, 2, -1).copy()
+        v[:, 1] = v[:, 1, ::-1]
+        v[:, 2] = v[:, 2, :, ::-1]
+        v[:, 3] = v[:, 3, ::-1, ::-1]
+        return v
+
+    want_hm = (1.0 / (1.0 + np.exp(-unflip(hm)))).mean(axis=1)
+    want_dim = np.exp(np.clip(unflip(dim), -1.2, 3.2)).mean(axis=1)
+    want_iou = np.clip((unflip(iou) + 1.0) * 0.5, 0, 1).mean(axis=1)
+    np.testing.assert_allclose(np.asarray(out["hm"]), want_hm, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["dim"]), want_dim, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["iou"]), want_iou, atol=1e-6)

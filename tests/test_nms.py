@@ -106,3 +106,53 @@ def test_fixpoint_equals_sequential_greedy():
             a = np.asarray(_greedy_suppress(iou, valid, thresh))
             b = np.asarray(_greedy_suppress_sequential(iou, valid, thresh))
             np.testing.assert_array_equal(a, b)
+
+
+def test_fixpoint_adversarial_chain_at_production_size():
+    """Worst-case suppression chains at production pre_max (1000 candidates,
+    nuScenes `nms_pre_max_size`): an overlapping chain of boxes where greedy
+    keeps every other one — chain depth equals the kept count. Guards the
+    unrolled-sweep fixpoint against silent non-convergence (ADVICE r1) and
+    shows `sweeps` restores exactness when a workload exceeds the default.
+    """
+    from pillarnet_lts_tpu.ops.nms import (
+        _greedy_suppress, _greedy_suppress_sequential,
+    )
+    from pillarnet_lts_tpu.ops.iou3d import to_pcdet_bev, rotated_iou_bev
+
+    n = 1000
+    boxes = np.zeros((n, 7), np.float32)
+    # chain: consecutive boxes overlap > thresh; greedy keeps 0, 2, 4, ...
+    # -> the keep/suppress wave propagates the full length of the chain
+    boxes[:, 0] = np.arange(n) * 1.2  # 4m-long boxes, 1.2m apart
+    boxes[:, 3] = 2.0
+    boxes[:, 4] = 4.0
+    boxes[:, 5] = 1.5
+    valid = jnp.ones(n, bool)
+    bev = to_pcdet_bev(jnp.array(boxes))
+    iou = rotated_iou_bev(bev, bev)
+
+    oracle = np.asarray(_greedy_suppress_sequential(iou, valid, 0.1))
+    assert oracle.sum() == 500  # every other box survives
+
+    # default 16 sweeps is NOT enough for a depth-500 chain — must differ
+    approx = np.asarray(_greedy_suppress(iou, valid, 0.1))
+    assert not np.array_equal(approx, oracle)
+
+    # raising sweeps to the chain length restores exact greedy (each sweep
+    # finalizes at least one more prefix position)
+    exact = np.asarray(_greedy_suppress(iou, valid, 0.1, sweeps=1000))
+    np.testing.assert_array_equal(exact, oracle)
+
+
+def test_nms_sweeps_configurable_via_test_cfg():
+    """`test_cfg.nms.nms_sweeps` reaches the NMS kernels."""
+    boxes = np.tile(
+        np.array([[0, 0, 0, 2, 4, 1.5, 0.0]], dtype=np.float32), (8, 1)
+    )
+    boxes[:, 0] = np.arange(8) * 10.0
+    sel_idx, sel_mask = nms_ops.rotated_nms(
+        jnp.array(boxes), jnp.ones(8, np.float32), jnp.ones(8, bool),
+        nms_thresh=0.5, post_max_size=4, sweeps=2,
+    )
+    assert np.asarray(sel_mask).sum() == 4
