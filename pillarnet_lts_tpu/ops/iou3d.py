@@ -152,8 +152,106 @@ def _bitonic_sort_by_key(keys, vals):
     return keys, vals
 
 
+def _clipped_edge_integrals(poly, clip_quad):
+    """Green's-theorem line integrals of `poly`'s edges clipped to the
+    inside of convex `clip_quad`.
+
+    For each directed edge x(t) = p + t*d, t in [0, 1], of `poly`, the
+    portion inside the convex clip region is a single interval [t0, t1]
+    (intersection of 4 half-plane constraints, each linear in t). The
+    integral of (x dy - y dx)/2 along the clipped portion is
+    cross(v0, v1)/2 with v0 = x(t0), v1 = x(t1). Summed over the closed
+    boundary of A inter B these integrals give its exact area.
+
+    Returns the per-pair sum of edge integrals (leading batch dims).
+    """
+    p = poly  # (..., 4, 2)
+    q = jnp.roll(poly, -1, axis=-2)
+    d = q - p
+
+    c0 = clip_quad  # (..., 4, 2)
+    c1 = jnp.roll(clip_quad, -1, axis=-2)
+    e = c1 - c0  # CCW edge; inside = cross(e, x - c0) >= 0
+
+    # alpha + t*beta >= 0 per (poly edge, clip plane): (..., 4poly, 4clip)
+    rel = p[..., :, None, :] - c0[..., None, :, :]
+    alpha = (e[..., None, :, 0] * rel[..., 1]
+             - e[..., None, :, 1] * rel[..., 0])
+    beta = (e[..., None, :, 0] * d[..., :, None, 1]
+            - e[..., None, :, 1] * d[..., :, None, 0])
+
+    big = jnp.asarray(1e9, poly.dtype)
+    parallel = jnp.abs(beta) < _EPS
+    safe_beta = jnp.where(parallel, 1.0, beta)
+    bound = -alpha / safe_beta
+    # beta > 0: t >= bound (lower); beta < 0: t <= bound (upper);
+    # parallel: inside for all t if alpha >= 0 else empty (lower=+big)
+    lower = jnp.where(
+        parallel,
+        jnp.where(alpha >= -_EPS, -big, big),
+        jnp.where(beta > 0, bound, -big),
+    )
+    upper = jnp.where(
+        parallel, big, jnp.where(beta > 0, big, bound)
+    )
+
+    t0 = jnp.maximum(lower.max(axis=-1), 0.0)  # (..., 4)
+    t1 = jnp.minimum(upper.min(axis=-1), 1.0)
+    keep = (t1 > t0).astype(poly.dtype)
+
+    v0 = p + t0[..., None] * d
+    v1 = p + t1[..., None] * d
+    integ = 0.5 * (v0[..., 0] * v1[..., 1] - v0[..., 1] * v1[..., 0])
+    return (integ * keep).sum(axis=-1)
+
+
+# Relative enlargement of quad B before computing area(A ^ B+): boundary-
+# collinear configurations (identical boxes, boxes sharing an edge) would
+# otherwise double-count the shared boundary segment (the two-sided Green
+# decomposition needs each boundary piece exactly once). With B+ strictly
+# enlarged, A-edges collinear with B's boundary fall strictly inside B+
+# (counted once, from A) and B+'s corresponding edges fall strictly outside A
+# (counted never). Biases the overlap by O(eps * area) ~ 1e-5 — invisible to
+# any IoU threshold.
+_ENLARGE = 1e-5
+
+
+def _scale_quad(quad, factor):
+    center = quad.mean(axis=-2, keepdims=True)
+    return center + (quad - center) * factor
+
+
 def _convex_intersection_area(a_quad, b_quad):
-    """Exact intersection area of two convex quads; batched over leading dims."""
+    """Exact intersection area of two convex CCW quads, batched over leading
+    dims, via the two-sided Green decomposition:
+
+      area(A^B) = sum over edges of A clipped to B of I(edge)
+                + sum over edges of B clipped to A of I(edge),
+      I(v0 -> v1) = cross(v0, v1) / 2.
+
+    Replaces the candidate-vertex + bitonic-sort formulation (same math as
+    the reference polygon clip, `iou3d_nms_kernel.cu:236-279`) with ~15x
+    fewer intermediates — no sort, no gather, MXU/VPU-friendly.
+    Degenerate boundary-collinear cases are regularized by computing
+    area(A ^ B+) with B+ = B enlarged by 1 + 1e-5 (see _ENLARGE).
+    """
+    b_plus = _scale_quad(b_quad, 1.0 + _ENLARGE)
+    area = (_clipped_edge_integrals(a_quad, b_plus)
+            + _clipped_edge_integrals(b_plus, a_quad))
+    # exact upper bound: min of the two quad areas (shoelace)
+    def _quad_area(qd):
+        x, y = qd[..., 0], qd[..., 1]
+        xn = jnp.roll(x, -1, axis=-1)
+        yn = jnp.roll(y, -1, axis=-1)
+        return 0.5 * jnp.abs((x * yn - y * xn).sum(axis=-1))
+
+    cap = jnp.minimum(_quad_area(a_quad), _quad_area(b_quad))
+    return jnp.clip(area, 0.0, cap)
+
+
+def _convex_intersection_area_sorted(a_quad, b_quad):
+    """Candidate-vertex + angular-sort formulation (round-1 path); kept as a
+    second independent oracle for the clipping implementation above."""
     a_in_b = _points_in_convex_quad(a_quad, b_quad)  # (..., 4)
     b_in_a = _points_in_convex_quad(b_quad, a_quad)  # (..., 4)
     x_pts, x_valid = _segment_intersections(a_quad, b_quad)  # (..., 16, *)

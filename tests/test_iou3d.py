@@ -30,7 +30,8 @@ def test_axis_aligned_overlap_exact():
     b = jnp.array([[1.0, 0.5, 4.0, 2.0, 0.0]])
     ov = iou3d.rotated_overlap_bev(a, b)
     # overlap = 3 x 1.5
-    np.testing.assert_allclose(np.asarray(ov), [[4.5]], rtol=1e-5)
+    # rtol floor set by the 1e-5 boundary regularization (_ENLARGE)
+    np.testing.assert_allclose(np.asarray(ov), [[4.5]], rtol=5e-5)
 
 
 def test_identical_box_iou_one():
@@ -84,9 +85,9 @@ def test_containment_overlap():
     a = jnp.array([[0.0, 0.0, 10.0, 10.0, 0.7]])
     b = jnp.array([[0.0, 0.0, 1.0, 2.0, -0.4]])
     ov = iou3d.rotated_overlap_bev(a, b)
-    np.testing.assert_allclose(np.asarray(ov), [[2.0]], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ov), [[2.0]], rtol=5e-5)
     ov_t = iou3d.rotated_overlap_bev(b, a)
-    np.testing.assert_allclose(np.asarray(ov_t), [[2.0]], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ov_t), [[2.0]], rtol=5e-5)
 
 
 def test_aligned_iou3d_matches_pairwise_diag():
@@ -116,3 +117,39 @@ def test_iou3d_det3d_convention_height():
     # same box -> 1
     iou_same = iou3d.boxes_iou3d(a, a)
     np.testing.assert_allclose(np.asarray(iou_same), [[1.0]], atol=1e-5)
+
+
+def test_green_clipping_matches_sorted_formulation():
+    """The Green's-theorem clipping (round-2 fast path) and the candidate-
+    vertex angular-sort formulation (round-1) are independent derivations of
+    the same convex intersection — they must agree on random, clustered,
+    touching, and identical box pairs."""
+    from pillarnet_lts_tpu.ops.iou3d import (
+        _convex_intersection_area,
+        _convex_intersection_area_sorted,
+        box_corners_bev,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 256
+    boxes = np.zeros((n, 5), np.float32)
+    boxes[:, 0:2] = rng.uniform(-8, 8, (n, 2))  # clustered -> many overlaps
+    boxes[:, 2:4] = rng.uniform(0.5, 6, (n, 2))
+    boxes[:, 4] = rng.uniform(-np.pi, np.pi, n)
+    # inject exact duplicates and axis-aligned touching pairs
+    boxes[10] = boxes[11]
+    boxes[20] = [0, 0, 2, 2, 0]
+    boxes[21] = [2, 0, 2, 2, 0]  # shares the x=1 edge with boxes[20]
+    corners = box_corners_bev(jnp.asarray(boxes))
+    a = jnp.broadcast_to(corners[:, None], (n, n, 4, 2))
+    b = jnp.broadcast_to(corners[None, :], (n, n, 4, 2))
+
+    fast = np.asarray(_convex_intersection_area(a, b))
+    slow = np.asarray(_convex_intersection_area_sorted(a, b))
+    areas = boxes[:, 2] * boxes[:, 3]
+    np.testing.assert_allclose(fast, slow, atol=2e-3)
+    # duplicates -> full overlap, touching -> zero
+    np.testing.assert_allclose(fast[10, 11], areas[10], rtol=1e-4)
+    assert fast[20, 21] < 1e-3
+    # symmetry of the decomposition
+    np.testing.assert_allclose(fast, fast.T, atol=2e-3)
