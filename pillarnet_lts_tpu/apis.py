@@ -36,6 +36,53 @@ def optimizer_from_cfg(cfg, total_steps=1):
                            grad_clip, frozen_prefixes=frozen)
 
 
+def apply_pretrained(trainer, model_cfg, logger=None):
+    """Consume `pretrained` config fields (reference `single_stage.py:31-38`
+    init_weights + the Pillar R-CNN stage-1 bootstrap `pillar_rcnn.py:20-23`):
+
+    - model.pretrained          -> non-strict load into the whole model
+    - model.first_stage_cfg.pretrained -> load a PillarNet checkpoint into
+      PillarRCNN's `single_det` subtree (typically combined with freeze=True).
+
+    Like the reference, a missing/unreadable checkpoint logs a warning and
+    training proceeds from random init.
+    """
+    import jax as _jax
+
+    from .parallel.mesh import replicate
+    from .runtime.checkpoint import load_pretrained
+
+    logger = logger or logging.getLogger("train")
+    specs = []
+    if model_cfg.get("pretrained"):
+        specs.append((model_cfg["pretrained"], None))
+    first_stage = model_cfg.get("first_stage_cfg") or {}
+    if first_stage.get("pretrained"):
+        specs.append((first_stage["pretrained"], "single_det"))
+    if not specs:
+        return
+
+    variables = {
+        "params": _jax.device_get(trainer.state.params),
+        "batch_stats": _jax.device_get(trainer.state.batch_stats),
+    }
+    for path, subtree in specs:
+        try:
+            variables, _ = load_pretrained(
+                variables, path, subtree=subtree, logger=logger
+            )
+            logger.info("init weight from %s", path)
+        except Exception as e:  # parity: reference swallows and proceeds
+            logger.warning("no pretrained model at %s (%s)", path, e)
+    trainer.state = replicate(
+        trainer.state.replace(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+        ),
+        trainer.mesh,
+    )
+
+
 def train_detector(model, dataset, cfg, logger=None, resume_from=None):
     logger = logger or logging.getLogger("train")
 
@@ -65,6 +112,7 @@ def train_detector(model, dataset, cfg, logger=None, resume_from=None):
     # initialize parameters from the first batch's shapes
     first_batch = next(iter(loader))
     trainer.init_state(first_batch)
+    apply_pretrained(trainer, cfg.model, logger)
 
     log_interval = 10
     if cfg.get("log_config"):

@@ -82,14 +82,21 @@ class DataLoader:
         counters = {"produced": 0}
 
         def worker():
-            while True:
-                with lock:
-                    batch_idx = next(batch_iter, None)
-                if batch_idx is None:
-                    q.put(sentinel)
-                    return
-                items = [self.dataset[i] for i in batch_idx]
-                q.put(collate_batch(items, max_points=self.max_points))
+            # a worker that dies for ANY reason must still put its sentinel
+            # (or the exception), otherwise __iter__ blocks on q.get forever
+            # — one corrupt sample would silently stall the whole run
+            try:
+                while True:
+                    with lock:
+                        batch_idx = next(batch_iter, None)
+                    if batch_idx is None:
+                        return
+                    items = [self.dataset[i] for i in batch_idx]
+                    q.put(collate_batch(items, max_points=self.max_points))
+            except BaseException as e:  # noqa: BLE001 — re-raised on main
+                q.put(e)
+            finally:
+                q.put(sentinel)
 
         threads = [
             threading.Thread(target=worker, daemon=True)
@@ -105,6 +112,10 @@ class DataLoader:
             if item is sentinel:
                 finished += 1
                 continue
+            if isinstance(item, BaseException):
+                raise RuntimeError(
+                    "data loader worker failed"
+                ) from item
             yielded += 1
             yield item
 
