@@ -28,6 +28,11 @@ class PillarNet(nn.Module):
     test_cfg: Optional[dict] = None
     pretrained: Optional[str] = None
     dtype: Any = jnp.float32
+    # BEV spatial parallelism (SURVEY §5.7): when set to a mesh axis name,
+    # the BEV grid and every backbone stage output are constrained H-sharded
+    # over that axis — XLA partitions the convs and inserts halo exchanges.
+    # The caller must run apply under a mesh context defining the axis.
+    spatial_axis: Optional[str] = None
 
     def setup(self):
         self.reader_net = builder.build_reader({**self.reader, "dtype": self.dtype})
@@ -84,7 +89,14 @@ class PillarNet(nn.Module):
     # ---- compute ------------------------------------------------------------
     def extract_feat(self, points, points_mask, train: bool):
         grid, occ = self.reader_net(points, points_mask, train)
+        if self.spatial_axis:
+            from ...parallel.spatial import pin_spatial, pin_spatial_tree
+
+            grid = pin_spatial(grid, self.spatial_axis)
+            occ = pin_spatial(occ, self.spatial_axis)
         feats = self.backbone_net(grid, occ, train)
+        if self.spatial_axis:
+            feats = pin_spatial_tree(feats, self.spatial_axis)
         bev = self.neck_net(feats, train)
         return bev, feats
 

@@ -14,6 +14,12 @@ provides the building blocks under `shard_map`:
 
 Validated against single-device convs on an 8-device CPU mesh
 (`tests/test_spatial_sharding.py`).
+
+The production path is `pin_spatial` (GSPMD): the detector annotates the BEV
+grid with an H-axis sharding constraint under a mesh context
+(`model.spatial_axis` config flag) and XLA's SPMD partitioner inserts the
+same halo exchanges automatically — the manual blocks above document and
+cross-check the collective pattern.
 """
 
 from functools import partial
@@ -67,6 +73,30 @@ def sharded_subm_conv3x3(x_local, mask_local, kernel, axis_name="sp"):
     see the same receptive field as the unsharded conv."""
     y = sharded_conv3x3(x_local, kernel, axis_name)
     return y * mask_local[..., None].astype(y.dtype)
+
+
+def pin_spatial(x, axis_name, h_dim=1):
+    """Constrain a BEV-grid array (B, H, W, C) or mask (B, H, W) to be
+    H-sharded over `axis_name` (GSPMD spatial parallelism, SURVEY §5.7).
+
+    Must run under a mesh context (`jax.set_mesh` / `with mesh:`) that
+    defines `axis_name`; XLA then partitions every conv over the grid and
+    inserts the halo exchanges that `sharded_conv3x3` writes by hand.
+    """
+    spec = [None] * x.ndim
+    spec[h_dim] = axis_name
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
+def pin_spatial_tree(feats, axis_name):
+    """Pin a backbone feature dict {name: (features, mask|None)}."""
+    out = {}
+    for k, (x, m) in feats.items():
+        out[k] = (
+            pin_spatial(x, axis_name),
+            pin_spatial(m, axis_name) if m is not None else None,
+        )
+    return out
 
 
 def make_spatial_conv(mesh: Mesh, kernel, axis_name="sp", masked=False):
