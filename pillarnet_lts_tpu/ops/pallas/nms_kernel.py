@@ -18,9 +18,22 @@ boundary-collinear pairs. No sort, no gather — every op is an elementwise
 The IoU threshold is a traced (1, 1) SMEM operand, so the same compiled
 kernel serves both the static-threshold and the per-class dynamic-threshold
 (grouped multi-class) paths, and vmap over tasks batches it.
+
+Hardware status (v5e via the remote Mosaic helper, 2026-08-16):
+- `_suppress_kernel_loop` (default): compiles in ~13 s, bit-exact vs the
+  jnp path on 10^6 random pairs, but executes at 107 ms/1000^2 — Mosaic
+  lowers the scalar-predicated one-hot selects far off roofline. Slower
+  than the jnp Green path (~19 ms for 6x1000^2), so `rotated_nms` defaults
+  to the jnp path; this kernel remains for toolchains with a working local
+  Mosaic (the env's client/terminal libtpu mismatch forces remote AOT).
+- `_suppress_kernel` (unrolled, `unrolled=True`): the straight-line body
+  (~600 vector ops) HANGS the remote compile helper at any tile size —
+  do not compile it on this toolchain (interpret mode only).
 """
 
 import functools
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +44,12 @@ from ..iou3d import _ENLARGE, box_corners_bev, to_pcdet_bev
 
 _EPS = 1e-8
 _BIG = 1e9
-_TILE = 128
+_TILE = 128   # unrolled-kernel tile (legacy)
+# loop-kernel tile: rows x cols per program. Rows kept small because Mosaic
+# keeps every fori-iteration temp live on the kernel stack — (32, 128) tiles
+# put the scoped-VMEM footprint well under the 16 MB budget.
+_TI = 32
+_TJ = 128
 
 
 def _quad_area(xs, ys):
@@ -78,6 +96,90 @@ def _clip_integrals(px, py, qx, qy, cx0, cy0, cx1, cy1):
     return total
 
 
+def _suppress_kernel_loop(thresh_ref, ca_ref, cb_ref, out_ref):
+    """Loop-compressed variant of `_suppress_kernel`: the 2 directions x 4
+    edges collapse into one fori_loop (edge/direction operands picked with
+    one-hot selects — no dynamic slicing), with the 4 clip planes unrolled
+    inside. ~5x smaller program than the fully-unrolled kernel; the remote
+    Mosaic compile helper in this environment hangs on large unrolled
+    bodies but handles loop-structured kernels (cf. voxelize_kernel).
+    """
+    thresh = thresh_ref[0, 0]
+
+    ax = [ca_ref[:, k][:, None] for k in range(4)]
+    ay = [ca_ref[:, 4 + k][:, None] for k in range(4)]
+    bx = [cb_ref[:, k][None, :] for k in range(4)]
+    by = [cb_ref[:, 4 + k][None, :] for k in range(4)]
+
+    zero_tile = jnp.zeros((_TI, _TJ), jnp.float32)
+
+    def body(i, total):
+        # i in [0, 8): direction = i // 4 (0: clip A-edges by B+,
+        # 1: clip B+-edges by A), edge index e = i % 4
+        is_b = i >= 4
+        e = i - jnp.where(is_b, 4, 0)
+
+        def pick(row_list, col_list, idx):
+            """One-hot select corner `idx` of the poly side (rows when
+            clipping A's edges, cols for B+'s), broadcast to the pair tile."""
+            out = zero_tile
+            for k in range(4):
+                cand = jnp.where(is_b, col_list[k] + zero_tile,
+                                 row_list[k] + zero_tile)
+                out = out + jnp.where(idx == k, cand, 0.0)
+            return out
+
+        px = pick(ax, bx, e)
+        py = pick(ay, by, e)
+        e1 = jnp.where(e == 3, 0, e + 1)
+        dx = pick(ax, bx, e1) - px
+        dy = pick(ay, by, e1) - py
+
+        t0 = zero_tile
+        t1 = zero_tile + 1.0
+        empty = zero_tile
+        for c in range(4):
+            # clip side: B+ planes for direction 0, A planes for direction 1
+            c2 = (c + 1) % 4
+            c0x = jnp.where(is_b, ax[c] + zero_tile, bx[c] + zero_tile)
+            c0y = jnp.where(is_b, ay[c] + zero_tile, by[c] + zero_tile)
+            ex = jnp.where(is_b, ax[c2] + zero_tile, bx[c2] + zero_tile) - c0x
+            ey = jnp.where(is_b, ay[c2] + zero_tile, by[c2] + zero_tile) - c0y
+            alpha = ex * (py - c0y) - ey * (px - c0x)
+            beta = ex * dy - ey * dx
+            par = jnp.abs(beta) < _EPS
+            bound = -alpha / jnp.where(par, 1.0, beta)
+            is_lower = beta > 0
+            lo = jnp.where(par | ~is_lower, -_BIG, bound)
+            hi = jnp.where(par | is_lower, _BIG, bound)
+            t0 = jnp.maximum(t0, lo)
+            t1 = jnp.minimum(t1, hi)
+            empty = jnp.maximum(
+                empty, jnp.where(par & (alpha < -_EPS), 1.0, 0.0)
+            )
+        keep = jnp.where((t1 > t0) & (empty < 0.5), 1.0, 0.0)
+        v0x = px + t0 * dx
+        v0y = py + t0 * dy
+        v1x = px + t1 * dx
+        v1y = py + t1 * dy
+        return total + keep * 0.5 * (v0x * v1y - v0y * v1x)
+
+    inter = jax.lax.fori_loop(0, 8, body, zero_tile)
+
+    area_a = _quad_area(ax, ay)
+    area_b = _quad_area(bx, by) / (1.0 + _ENLARGE) ** 2
+    inter = jnp.clip(inter, 0.0, jnp.minimum(area_a, area_b))
+    iou = inter / jnp.maximum(area_a + area_b - inter, _EPS)
+
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (_TI, _TJ), 0)
+            + ti * _TI)
+    cols = (jax.lax.broadcasted_iota(jnp.int32, (_TI, _TJ), 1)
+            + tj * _TJ)
+    out_ref[:, :] = jnp.where((rows < cols) & (iou > thresh), 1.0, 0.0)
+
+
 def _suppress_kernel(thresh_ref, ca_ref, cb_ref, out_ref):
     """One (TILE, TILE) tile of M[j, i] = (j < i) * (IoU > thresh).
 
@@ -108,15 +210,16 @@ def _suppress_kernel(thresh_ref, ca_ref, cb_ref, out_ref):
     # global j < i ordering mask (rows suppress later columns)
     ti = pl.program_id(0)
     tj = pl.program_id(1)
-    rows = (jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
-            + ti * _TILE)
-    cols = (jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 1)
-            + tj * _TILE)
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (_TI, _TJ), 0)
+            + ti * _TI)
+    cols = (jax.lax.broadcasted_iota(jnp.int32, (_TI, _TJ), 1)
+            + tj * _TJ)
     out_ref[:, :] = jnp.where((rows < cols) & (iou > thresh), 1.0, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def suppression_matrix_pallas(boxes, thresh, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "unrolled"))
+def suppression_matrix_pallas(boxes, thresh, interpret=False,
+                              unrolled=False):
     """(K, D>=7) det3d boxes (score-descending) -> (K, K) f32 suppression
     matrix M[j, i] = (j < i) * (IoU_bev(j, i) > thresh).
 
@@ -133,26 +236,34 @@ def suppression_matrix_pallas(boxes, thresh, interpret=False):
     def pack(c):
         return jnp.concatenate([c[..., 0], c[..., 1]], axis=-1)  # (K, 8)
 
-    kp = -(-k // _TILE) * _TILE
+    ti, tj = (_TI, _TJ)
+    kp = -(-k // (ti * tj // np.gcd(ti, tj))) * (ti * tj // np.gcd(ti, tj))
     ca = jnp.pad(pack(corners), ((0, kp - k), (0, 0)))
     cb = jnp.pad(pack(corners_plus), ((0, kp - k), (0, 0)))
     thresh_arr = jnp.asarray(thresh, jnp.float32).reshape(1, 1)
 
-    grid = (kp // _TILE, kp // _TILE)
+    grid = (kp // ti, kp // tj)
     out = pl.pallas_call(
-        _suppress_kernel,
+        _suppress_kernel if unrolled else _suppress_kernel_loop,
         out_shape=jax.ShapeDtypeStruct((kp, kp), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((_TILE, 8), lambda i, j: (i, 0),
+            pl.BlockSpec((ti, 8), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, 8), lambda i, j: (j, 0),
+            pl.BlockSpec((tj, 8), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TILE, _TILE), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((ti, tj), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
+        # Mosaic keeps every fori-iteration temp live on the kernel stack;
+        # the loop kernel's footprint (~28 MB at (32,128) tiles) exceeds the
+        # default 16 MB scoped-VMEM budget but fits comfortably in the v5e's
+        # 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(thresh_arr, ca, cb)
     return out[:k, :k]

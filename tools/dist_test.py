@@ -122,6 +122,20 @@ def main():
         print(f"\nTotal time per frame: {per_frame * 1000:.2f} ms "
               f"({1.0 / per_frame:.2f} FPS)")
 
+    # multi-host eval: gather per-host detections before evaluation
+    # (reference `torchie/trainer/utils.py:114` all_gather at
+    # `dist_test.py:187-199`); identity in single-process runs
+    from pillarnet_lts_tpu.parallel.dist import (
+        all_gather_objects, merge_detection_dicts, process_count,
+        sync_global_devices,
+    )
+
+    if process_count() > 1:
+        sync_global_devices("dist_test_gather")
+        detections = merge_detection_dicts(all_gather_objects(detections))
+        if jax.process_index() != 0:
+            return
+
     with open(os.path.join(work_dir, "prediction.pkl"), "wb") as f:
         pickle.dump(detections, f)
 
