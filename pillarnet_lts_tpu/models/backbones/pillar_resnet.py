@@ -64,13 +64,16 @@ class _PillarResNetBase(nn.Module):
         x1, m1 = x, occ
 
         x2, m2 = SparseDownStage(
-            c * 2, self.stage_blocks[0], dtype=self.dtype, name="conv2"
+            c * 2, self.stage_blocks[0], in_channels=c, dtype=self.dtype,
+            name="conv2",
         )(x1, m1, train)
         x3, m3 = SparseDownStage(
-            c * 4, self.stage_blocks[1], dtype=self.dtype, name="conv3"
+            c * 4, self.stage_blocks[1], in_channels=c * 2, dtype=self.dtype,
+            name="conv3",
         )(x2, m2, train)
         x4, m4 = SparseDownStage(
-            c * 8, self.stage_blocks[2], dtype=self.dtype, name="conv4"
+            c * 8, self.stage_blocks[2], in_channels=c * 4, dtype=self.dtype,
+            name="conv4",
         )(x3, m3, train)
 
         out = {

@@ -10,6 +10,7 @@ flax compute methods).
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -90,13 +91,35 @@ class PillarNet(nn.Module):
     def extract_feat(self, points, points_mask, train: bool):
         grid, occ = self.reader_net(points, points_mask, train)
         if self.spatial_axis:
-            from ...parallel.spatial import pin_spatial, pin_spatial_tree
+            from ...parallel.spatial import pin_spatial
 
             grid = pin_spatial(grid, self.spatial_axis)
             occ = pin_spatial(occ, self.spatial_axis)
         feats = self.backbone_net(grid, occ, train)
         if self.spatial_axis:
-            feats = pin_spatial_tree(feats, self.spatial_axis)
+            # pin only the stride-1/2 stages on the spatial axis — that is
+            # where spatial parallelism pays (the huge maps). Deeper maps
+            # (e.g. conv5 at H=90 on the 1440 grid) are often not divisible
+            # by the axis size; pin them REPLICATED so GSPMD propagation of
+            # the H-sharding stops instead of producing degenerate partial
+            # shardings of tiny dims.
+            pinned = {}
+            for k, (x, msk) in feats.items():
+                axis = self.spatial_axis if k in ("conv1", "conv2") else None
+                if axis:
+                    pinned[k] = (
+                        pin_spatial(x, axis),
+                        pin_spatial(msk, axis) if msk is not None else None,
+                    )
+                else:
+                    rep = jax.lax.with_sharding_constraint
+                    from jax.sharding import PartitionSpec as _P
+
+                    pinned[k] = (
+                        rep(x, _P()),
+                        rep(msk, _P()) if msk is not None else None,
+                    )
+            feats = pinned
         bev = self.neck_net(feats, train)
         return bev, feats
 

@@ -24,6 +24,18 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+# internal diagnostics knob for eval-mode BN numerics experiments:
+#   "full" (default) — fp32 normalize;
+#   "bf16" — normalize in the compute dtype;
+#   "skip" — identity (COST measurement only, numerically wrong).
+_EVAL_MODE = "full"
+
+
+def set_eval_mode(mode):
+    global _EVAL_MODE
+    assert mode in ("full", "bf16", "skip")
+    _EVAL_MODE = mode
+
 
 class MaskedBatchNorm(nn.Module):
     features: int
@@ -32,18 +44,52 @@ class MaskedBatchNorm(nn.Module):
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        # setup-style (not @nn.compact) so sibling modules can fold the
+        # eval-mode affine into their conv weights via fold_factors()
+        self.scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        self.ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        )
+        self.ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+
+    def fold_factors(self):
+        """Eval-mode BN as an affine y = x * inv + shift (fp32):
+        inv = scale / sqrt(var + eps), shift = bias - mean * inv. Folding
+        inv into the preceding conv's weights removes the whole post-conv
+        normalization pass (and its layout copies) at inference."""
+        inv = jax.lax.rsqrt(self.ra_var.value + self.eps) * self.scale
+        shift = self.bias - self.ra_mean.value * inv
+        return inv, shift
+
     def __call__(self, x, mask=None, train: bool = True):
         """x: (..., C); mask: bool broadcastable to x.shape[:-1] or None."""
-        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        scale = self.scale
+        bias = self.bias
+        ra_mean = self.ra_mean
+        ra_var = self.ra_var
 
-        ra_mean = self.variable(
-            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
-        )
-        ra_var = self.variable(
-            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
-        )
+        if not train and _EVAL_MODE != "full":
+            if _EVAL_MODE == "skip":
+                return x
+            inv16 = (jax.lax.rsqrt(ra_var.value + self.eps) * scale).astype(
+                x.dtype
+            )
+            bias16 = (bias - ra_mean.value * jax.lax.rsqrt(
+                ra_var.value + self.eps) * scale).astype(x.dtype)
+            y = x * inv16 + bias16
+            if mask is not None:
+                y = y * mask.astype(y.dtype)[..., None]
+            return y.astype(self.dtype)
 
         xf = x.astype(jnp.float32)
         reduce_axes = tuple(range(x.ndim - 1))

@@ -49,10 +49,10 @@ def test_subm_conv_matches_sparse_oracle():
     mask = rng.rand(H, W) > 0.7
     x = rng.randn(H, W, Cin).astype(np.float32) * mask[..., None]
 
-    conv = MaskedConv(Cout)
+    conv = MaskedConv(Cout, in_features=Cin)
     params = conv.init(jax.random.PRNGKey(0), jnp.array(x[None]))
-    w = np.asarray(params["params"]["Conv_0"]["kernel"])
-    b = np.asarray(params["params"]["Conv_0"]["bias"])
+    w = np.asarray(params["params"]["kernel"])
+    b = np.asarray(params["params"]["bias"])
 
     y = np.asarray(conv.apply(params, jnp.array(x[None])))[0]
     # SubM semantics: mask output, same site set
@@ -88,9 +88,9 @@ def test_strided_stage_values_match_oracle():
     mask = rng.rand(H, W) > 0.6
     x = rng.randn(H, W, Cin).astype(np.float32) * mask[..., None]
 
-    conv = MaskedConv(Cout, stride=2, use_bias=False)
+    conv = MaskedConv(Cout, in_features=Cin, stride=2, use_bias=False)
     params = conv.init(jax.random.PRNGKey(1), jnp.array(x[None]))
-    w = np.asarray(params["params"]["Conv_0"]["kernel"])
+    w = np.asarray(params["params"]["kernel"])
     y = np.asarray(conv.apply(params, jnp.array(x[None])))[0]
     new_mask = np.asarray(dilate_mask(jnp.array(mask[None]), 2))[0]
     y = y * new_mask[..., None]
@@ -157,3 +157,56 @@ def test_residual_block_preserves_inactive_zero():
     # inactive sites stay exactly zero through conv+BN+residual+relu
     np.testing.assert_allclose(y[0][~mask], 0.0)
     assert np.abs(y[0][mask]).sum() > 0
+
+
+def test_eval_fold_matches_unfolded_bn():
+    """Inference folds BN into conv weights; the folded eval output must
+    match explicit conv -> eval-BN -> mask to fp32 precision."""
+    from pillarnet_lts_tpu.models.backbones.base import Sparse2DBasicBlock
+
+    rng = np.random.RandomState(4)
+    H = W = 16
+    C = 8
+    mask = rng.rand(H, W) > 0.6
+    x = (rng.randn(H, W, C).astype(np.float32) * mask[..., None])[None]
+    blk = Sparse2DBasicBlock(planes=C)
+    variables = jax.device_get(
+        blk.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(mask[None]),
+                 train=False)
+    )
+    # non-trivial BN statistics and affine
+    for bn in ("bn1", "bn2"):
+        variables["batch_stats"][bn]["mean"] = rng.randn(C).astype(np.float32)
+        variables["batch_stats"][bn]["var"] = rng.uniform(
+            0.5, 2.0, C).astype(np.float32)
+        variables["params"][bn]["scale"] = rng.uniform(
+            0.5, 1.5, C).astype(np.float32)
+        variables["params"][bn]["bias"] = rng.randn(C).astype(np.float32)
+
+    folded = np.asarray(
+        blk.apply(variables, jnp.asarray(x), jnp.asarray(mask[None]),
+                  train=False)
+    )
+
+    # manual unfolded reference
+    def conv(xx, w, b):
+        out = jax.lax.conv_general_dilated(
+            jnp.asarray(xx), jnp.asarray(w), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return np.asarray(out) + b
+
+    def bn(xx, name):
+        p = variables["params"][name]
+        s = variables["batch_stats"][name]
+        y = (xx - s["mean"]) / np.sqrt(s["var"] + 1e-3) * p["scale"] + p["bias"]
+        return y * mask[None, ..., None]
+
+    y = conv(x, variables["params"]["conv1"]["kernel"],
+             variables["params"]["conv1"]["bias"])
+    y = np.maximum(bn(y, "bn1"), 0)
+    y = conv(y, variables["params"]["conv2"]["kernel"],
+             variables["params"]["conv2"]["bias"])
+    y = bn(y, "bn2")
+    want = np.maximum(y + x, 0)
+    np.testing.assert_allclose(folded, want, atol=1e-5)
