@@ -38,6 +38,120 @@ from ..utils.norm import MaskedBatchNorm
 _KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+# ---------------------------------------------------------------------------
+# Space-to-depth execution of the stride-1 stage.
+#
+# A 3x3 stride-1 conv over the fine (H, W, C) grid is EXACTLY a 3x3 conv over
+# the space-to-depth (H/2, W/2, 4C) grid with a structured kernel: fine
+# position (2u+a, 2v+b) becomes coarse cell (u, v), phase channel block
+# (2a+b). Measured on the v5e, the 1440^2 32-channel stage runs at ~7-10
+# TFLOP/s (32 of 128 MXU lanes, small contraction), while the same stage
+# expressed as 720^2 128-channel convs runs at ~97 TFLOP/s — 4x the padded
+# FLOPs at ~10x the rate, a ~3.5x net win. Numerics are exact up to fp
+# accumulation order (the extra kernel entries are structural zeros).
+# ---------------------------------------------------------------------------
+
+
+def s2d_pack(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C); phase-major channel blocks."""
+    b, h, w, c = x.shape
+    y = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(
+        b, h // 2, w // 2, 4 * c
+    )
+
+
+def s2d_unpack(x, channels):
+    """(B, H/2, W/2, 4C) -> (B, H, W, C)."""
+    b, h2, w2, _ = x.shape
+    y = x.reshape(b, h2, w2, 2, 2, channels)
+    return jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(
+        b, h2 * 2, w2 * 2, channels
+    )
+
+
+def s2d_pack_mask(mask):
+    """(B, H, W) bool -> (B, H/2, W/2, 4) per-phase occupancy."""
+    b, h, w = mask.shape
+    y = mask.reshape(b, h // 2, 2, w // 2, 2)
+    return jnp.transpose(y, (0, 1, 3, 2, 4)).reshape(b, h // 2, w // 2, 4)
+
+
+def expand_kernel_s2d(w):
+    """(3, 3, ci, co) fine stride-1 kernel -> (3, 3, 4ci, 4co) s2d kernel."""
+    _, _, ci, co = w.shape
+    wp = jnp.zeros((3, 3, 4 * ci, 4 * co), w.dtype)
+    for a in (0, 1):
+        for b in (0, 1):
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    s, ap = divmod(a + di, 2)
+                    t, bp = divmod(b + dj, 2)
+                    pin, pout = 2 * ap + bp, 2 * a + b
+                    wp = jax.lax.dynamic_update_slice(
+                        wp, w[di + 1:di + 2, dj + 1:dj + 2],
+                        (s + 1, t + 1, pin * ci, pout * co),
+                    )
+    return wp
+
+
+def expand_kernel_s2d_down(w):
+    """(3, 3, ci, co) fine stride-2 kernel -> (2, 2, 4ci, co) coarse stride-1
+    kernel (use with padding ((1, 0), (1, 0)))."""
+    _, _, ci, co = w.shape
+    wp = jnp.zeros((2, 2, 4 * ci, co), w.dtype)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            s, ap = divmod(di, 2)
+            t, bp = divmod(dj, 2)
+            wp = jax.lax.dynamic_update_slice(
+                wp, w[di + 1:di + 2, dj + 1:dj + 2],
+                (s + 1, t + 1, (2 * ap + bp) * ci, 0),
+            )
+    return wp
+
+
+def _tile4(v):
+    return jnp.tile(v, 4)
+
+
+def conv_bn_act_s2d(conv: "MaskedConv", bn: MaskedBatchNorm, x, mask4,
+                    train, act=True):
+    """s2d-space equivalent of `conv_bn_act` for a stride-1 SubM conv+BN.
+
+    x: (B, H/2, W/2, 4C_in); mask4: (B, H/2, W/2, 4) per-phase occupancy.
+    BN statistics aggregate across the 4 phase blocks of each fine channel,
+    exactly the fine-space masked statistics.
+    """
+    c = conv.features
+    w = expand_kernel_s2d(conv.kernel)
+    if train:
+        b = _tile4(conv.bias) if conv.use_bias else None
+        y = jax.lax.conv_general_dilated(
+            x.astype(conv.dtype), w.astype(conv.dtype), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if b is not None:
+            y = y + b.astype(y.dtype)
+        bb, hh, ww, _ = y.shape
+        y = bn(y.reshape(bb, hh, ww, 4, c), mask=mask4, train=True)
+        y = y.reshape(bb, hh, ww, 4 * c)
+    else:
+        inv, shift = bn.fold_factors()
+        if conv.use_bias:
+            shift = conv.bias * inv + shift
+        y = jax.lax.conv_general_dilated(
+            x.astype(conv.dtype), (w * _tile4(inv)).astype(conv.dtype),
+            (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = y + _tile4(shift).astype(y.dtype)
+        # flat channel-repeated mask: keeps the multiply a single NHWC
+        # elementwise pass (a rank-5 reshape forces relayout copies)
+        y = y * jnp.repeat(mask4.astype(y.dtype), c, axis=-1)
+    return nn.relu(y) if act else y
+
+
 def dilate_mask(mask, stride: int = 2):
     """spconv SparseConv2d(k=3, stride, pad=1) output-site rule: a stride-s
     3x3 max-pool with SAME-style padding 1 over the occupancy."""
@@ -64,6 +178,7 @@ class MaskedConv(nn.Module):
     stride: int = 1
     use_bias: bool = True
     dtype: Any = jnp.float32
+    bias_init: Any = nn.initializers.zeros
 
     def setup(self):
         k = self.kernel_size
@@ -73,7 +188,7 @@ class MaskedConv(nn.Module):
         )
         if self.use_bias:
             self.bias = self.param(
-                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+                "bias", self.bias_init, (self.features,), jnp.float32
             )
 
     def _run(self, x, w, b):
@@ -117,12 +232,18 @@ def conv_bn_act(conv: MaskedConv, bn: MaskedBatchNorm, x, mask, train,
 
 
 class Sparse2DBasicBlock(nn.Module):
-    """Residual block of two SubM convs (`base.py:183-213`)."""
+    """Residual block of two SubM convs (`base.py:183-213`).
+
+    With `s2d=True` the block executes in space-to-depth layout: x is
+    (B, H/2, W/2, 4*planes) and `mask` is the (B, H/2, W/2, 4) per-phase
+    occupancy. Parameters are identical either way.
+    """
 
     planes: int
     momentum: float = 0.01
     eps: float = 1e-3
     dtype: Any = jnp.float32
+    s2d: bool = False
 
     def setup(self):
         kw = dict(momentum=self.momentum, eps=self.eps, dtype=self.dtype)
@@ -132,9 +253,10 @@ class Sparse2DBasicBlock(nn.Module):
         self.bn2 = MaskedBatchNorm(self.planes, **kw)
 
     def __call__(self, x, mask, train: bool = True):
+        run = conv_bn_act_s2d if self.s2d else conv_bn_act
         identity = x
-        out = conv_bn_act(self.conv1, self.bn1, x, mask, train)
-        out = conv_bn_act(self.conv2, self.bn2, out, mask, train, act=False)
+        out = run(self.conv1, self.bn1, x, mask, train)
+        out = run(self.conv2, self.bn2, out, mask, train, act=False)
         return nn.relu(out + identity)
 
 
@@ -147,6 +269,7 @@ class Sparse2DBasicBlockV(nn.Module):
     eps: float = 1e-3
     dtype: Any = jnp.float32
     in_planes: Optional[int] = None  # input channels; defaults to planes
+    s2d: bool = False
 
     def setup(self):
         kw = dict(momentum=self.momentum, eps=self.eps, dtype=self.dtype)
@@ -159,10 +282,11 @@ class Sparse2DBasicBlockV(nn.Module):
         self.bn2 = MaskedBatchNorm(self.planes, **kw)
 
     def __call__(self, x, mask, train: bool = True):
-        x = conv_bn_act(self.conv0, self.bn0, x, mask, train, act=False)
+        run = conv_bn_act_s2d if self.s2d else conv_bn_act
+        x = run(self.conv0, self.bn0, x, mask, train, act=False)
         identity = x
-        out = conv_bn_act(self.conv1, self.bn1, x, mask, train)
-        out = conv_bn_act(self.conv2, self.bn2, out, mask, train, act=False)
+        out = run(self.conv1, self.bn1, x, mask, train)
+        out = run(self.conv2, self.bn2, out, mask, train, act=False)
         return nn.relu(out + identity)
 
 
@@ -177,6 +301,7 @@ class SparseDownStage(nn.Module):
     eps: float = 1e-3
     dtype: Any = jnp.float32
     in_channels: Optional[int] = None  # defaults to channels // 2
+    s2d_in: bool = False  # input arrives in s2d layout (stride must be 2)
 
     def setup(self):
         cin = (self.channels // 2 if self.in_channels is None
@@ -198,8 +323,32 @@ class SparseDownStage(nn.Module):
         ]
 
     def __call__(self, x, mask, train: bool = True):
+        """mask is always the FINE-space occupancy of the input stage, even
+        when `s2d_in` (the s2d layout only changes how x is stored)."""
         new_mask = dilate_mask(mask, self.stride)
-        y = conv_bn_act(self.down_conv, self.down_bn, x, new_mask, train)
+        if self.s2d_in:
+            assert self.stride == 2
+            w = expand_kernel_s2d_down(self.down_conv.kernel)
+            if train:
+                y = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), w.astype(self.dtype), (1, 1),
+                    ((1, 0), (1, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                y = self.down_bn(y, mask=new_mask, train=True)
+            else:
+                inv, shift = self.down_bn.fold_factors()
+                y = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), (w * inv).astype(self.dtype),
+                    (1, 1), ((1, 0), (1, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                y = (y + shift.astype(y.dtype)) * new_mask.astype(y.dtype)[
+                    ..., None
+                ]
+            y = nn.relu(y)
+        else:
+            y = conv_bn_act(self.down_conv, self.down_bn, x, new_mask, train)
         for blk in self.blocks:
             y = blk(y, new_mask, train)
         return y, new_mask

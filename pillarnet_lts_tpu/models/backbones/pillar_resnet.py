@@ -23,6 +23,9 @@ from .base import (
     Sparse2DBasicBlock,
     Sparse2DBasicBlockV,
     SparseDownStage,
+    s2d_pack,
+    s2d_pack_mask,
+    s2d_unpack,
 )
 
 
@@ -34,6 +37,10 @@ class _PillarResNetBase(nn.Module):
     conv1_blocks: int = 2  # total blocks in conv1 (first is the V block)
     stage_blocks: Tuple[int, int, int] = (2, 2, 2)  # conv2..conv4
     with_conv5: bool = False
+    # run the stride-1 stage (and the conv2 downsample) in space-to-depth
+    # layout — numerically equivalent, ~3.5x faster on the MXU at 32
+    # channels (see base.py). Parameters are identical either way.
+    s2d_stage1: bool = True
 
     @property
     def backbone_channels(self):
@@ -53,20 +60,33 @@ class _PillarResNetBase(nn.Module):
     @nn.compact
     def __call__(self, grid, occ, train: bool = True) -> Dict[str, tuple]:
         c = self.in_channels
-
-        x = Sparse2DBasicBlockV(c, dtype=self.dtype, name="conv1_block0")(
-            grid, occ, train
+        use_s2d = (
+            self.s2d_stage1
+            and grid.shape[1] % 2 == 0
+            and grid.shape[2] % 2 == 0
         )
+
+        if use_s2d:
+            x = s2d_pack(grid)
+            occ4 = s2d_pack_mask(occ)
+        else:
+            x, occ4 = grid, occ
+        x = Sparse2DBasicBlockV(
+            c, dtype=self.dtype, s2d=use_s2d, name="conv1_block0"
+        )(x, occ4, train)
         for i in range(1, self.conv1_blocks):
-            x = Sparse2DBasicBlock(c, dtype=self.dtype, name=f"conv1_block{i}")(
-                x, occ, train
-            )
-        x1, m1 = x, occ
+            x = Sparse2DBasicBlock(
+                c, dtype=self.dtype, s2d=use_s2d, name=f"conv1_block{i}"
+            )(x, occ4, train)
+        # fine-layout stage-1 output for consumers of the dict entry; dead
+        # code (eliminated by XLA) when nothing reads backbone['conv1']
+        x1 = s2d_unpack(x, c) if use_s2d else x
+        m1 = occ
 
         x2, m2 = SparseDownStage(
             c * 2, self.stage_blocks[0], in_channels=c, dtype=self.dtype,
-            name="conv2",
-        )(x1, m1, train)
+            s2d_in=use_s2d, name="conv2",
+        )(x, m1, train)
         x3, m3 = SparseDownStage(
             c * 4, self.stage_blocks[1], in_channels=c * 2, dtype=self.dtype,
             name="conv3",

@@ -39,6 +39,7 @@ from ..losses.centernet_loss import (
     iou_reg_loss,
     reg_loss,
 )
+from ..backbones.base import MaskedConv
 from ..registry import HEADS
 from ..utils.norm import MaskedBatchNorm
 
@@ -46,41 +47,131 @@ _KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
 class SepHead(nn.Module):
-    """Separate per-target conv branches (`center_head.py:14-51`)."""
+    """Separate per-target conv branches (`center_head.py:14-51`).
+
+    Execution is FUSED: the per-branch 3x3 hidden convs (reg/height/dim/rot
+    [/vel][/iou]/hm each own a `head_conv`-wide conv) share one input, so
+    their kernels concatenate along the output axis into a single wide conv
+    — 7 convs with 64 output channels (25% of the MXU's 128+ lanes each)
+    become one 448-wide conv at full lane utilization. The final per-branch
+    projections become one block-diagonal conv (zero weights across
+    branches), which is numerically exact: the extra accumulands are 0.0.
+    The parameter tree keeps the reference per-branch layout
+    (`{head}_conv0/kernel`, `{head}_bn0/...`, `{head}_out/kernel`), so
+    checkpoints are unaffected; branches configured with more than two convs
+    (none in the reference zoo) fall back to unfused per-branch execution
+    for the extra depth.
+    """
 
     heads: Dict[str, Tuple[int, int]]
     head_conv: int = 64
     init_bias: float = -2.19
     dtype: Any = jnp.float32
+    in_channels: int = 64
 
-    @nn.compact
-    def __call__(self, x, train: bool = True):
-        out = {}
+    def setup(self):
+        convs = {}
+        bns = {}
         for head, (classes, num_conv) in self.heads.items():
-            y = x
             for i in range(num_conv - 1):
-                y = nn.Conv(
-                    self.head_conv, (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=True, kernel_init=_KAIMING,
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    name=f"{head}_conv{i}",
-                )(y)
-                y = MaskedBatchNorm(
+                cin = self.in_channels if i == 0 else self.head_conv
+                convs[f"{head}_conv{i}"] = MaskedConv(
+                    self.head_conv, cin, kernel_size=3,
+                    dtype=self.dtype, name=f"{head}_conv{i}",
+                )
+                bns[f"{head}_bn{i}"] = MaskedBatchNorm(
                     self.head_conv, dtype=self.dtype, name=f"{head}_bn{i}"
-                )(y, mask=None, train=train)
-                y = nn.relu(y)
+                )
             bias_init = (
                 nn.initializers.constant(self.init_bias)
                 if "hm" in head
                 else nn.initializers.zeros
             )
-            y = nn.Conv(
-                classes, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
-                kernel_init=_KAIMING, bias_init=bias_init,
-                dtype=self.dtype, param_dtype=jnp.float32,
-                name=f"{head}_out",
-            )(y)
-            out[head] = y
+            cin = self.in_channels if num_conv == 1 else self.head_conv
+            convs[f"{head}_out"] = MaskedConv(
+                classes, cin, kernel_size=3, bias_init=bias_init,
+                dtype=self.dtype, name=f"{head}_out",
+            )
+        self._convs = convs
+        self._bns = bns
+
+    def _conv3x3(self, x, w, b):
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + b.astype(y.dtype)
+
+    def __call__(self, x, train: bool = True):
+        order = list(self.heads.items())
+        fused = [h for h, (_, n) in order if n >= 2]
+        hc = self.head_conv
+
+        feats = {}
+        if fused:
+            # one wide first conv over the shared input
+            k0 = jnp.concatenate(
+                [self._convs[f"{h}_conv0"].kernel for h in fused], axis=-1
+            )
+            if train:
+                b0 = jnp.concatenate(
+                    [self._convs[f"{h}_conv0"].bias for h in fused]
+                )
+                y = self._conv3x3(x, k0, b0)
+                pieces = []
+                for j, h in enumerate(fused):
+                    z = self._bns[f"{h}_bn0"](
+                        y[..., j * hc:(j + 1) * hc], mask=None, train=True
+                    )
+                    pieces.append(nn.relu(z))
+                y = jnp.concatenate(pieces, axis=-1)
+            else:
+                inv, shift = [], []
+                for h in fused:
+                    i_, s_ = self._bns[f"{h}_bn0"].fold_factors()
+                    cb = self._convs[f"{h}_conv0"].bias
+                    inv.append(i_)
+                    shift.append(cb * i_ + s_)
+                y = nn.relu(self._conv3x3(
+                    x, k0 * jnp.concatenate(inv), jnp.concatenate(shift)
+                ))
+            # extra hidden convs (num_conv > 2): per-branch, unfused
+            for j, h in enumerate(fused):
+                z = y[..., j * hc:(j + 1) * hc]
+                for i in range(1, self.heads[h][1] - 1):
+                    z = self._convs[f"{h}_conv{i}"](z)
+                    z = self._bns[f"{h}_bn{i}"](z, mask=None, train=train)
+                    z = nn.relu(z)
+                feats[h] = z
+            deep = [h for h in fused if self.heads[h][1] > 2]
+            if deep:
+                y = jnp.concatenate([feats[h] for h in fused], axis=-1)
+
+        out = {}
+        if fused:
+            # block-diagonal fused projection over the concatenated hiddens
+            outs = [self.heads[h][0] for h in fused]
+            total = sum(outs)
+            kd = jnp.zeros((3, 3, hc * len(fused), total), jnp.float32)
+            bd = jnp.concatenate(
+                [self._convs[f"{h}_out"].bias for h in fused]
+            )
+            off = 0
+            for j, h in enumerate(fused):
+                kd = jax.lax.dynamic_update_slice(
+                    kd, self._convs[f"{h}_out"].kernel,
+                    (0, 0, j * hc, off),
+                )
+                off += outs[j]
+            z = self._conv3x3(y, kd, bd)
+            off = 0
+            for j, h in enumerate(fused):
+                out[h] = z[..., off:off + outs[j]]
+                off += outs[j]
+        for head, (classes, num_conv) in order:
+            if num_conv < 2:  # projection straight off the shared input
+                out[head] = self._convs[f"{head}_out"](x)
         return out
 
 
@@ -629,9 +720,10 @@ class CenterHead(nn.Module):
             heads = dict(copy.deepcopy(dict(self.common_heads)))
             heads["hm"] = (num_cls, 2)
             ret_dicts.append(
-                SepHead(heads, dtype=self.dtype, name=f"task{k}")(
-                    share_feats[self.task_idx[k]], train
-                )
+                SepHead(
+                    heads, dtype=self.dtype, name=f"task{k}",
+                    in_channels=self.share_channel,
+                )(share_feats[self.task_idx[k]], train)
             )
         return ret_dicts
 

@@ -12,14 +12,14 @@ XLA scatter on CPU/interpret; override with
 
 import jax
 
-from .voxelize import scatter_max_to_grid
+from .voxelize import scatter_max_to_grid, scatter_max_to_grid_sorted
 
 _BACKEND = "auto"
 
 
 def set_backend(name):
     global _BACKEND
-    assert name in ("auto", "xla", "pallas")
+    assert name in ("auto", "xla", "pallas", "sort")
     _BACKEND = name
 
 
@@ -40,6 +40,10 @@ def pillar_scatter_max(point_feats, flat_ids, valid, height, width):
         from .pallas.voxelize_kernel import pillar_scatter_max_pallas
 
         return pillar_scatter_max_pallas(
+            point_feats, flat_ids, valid, height, width
+        )
+    if backend == "sort":
+        return scatter_max_to_grid_sorted(
             point_feats, flat_ids, valid, height, width
         )
     return scatter_max_to_grid(point_feats, flat_ids, valid, height, width)

@@ -83,6 +83,76 @@ def voxelize_points(points, points_mask, spec: PillarSpec):
     return feats, flat, valid
 
 
+def _segmented_suffix_max(feats, ids):
+    """Reverse inclusive segmented max over sorted segment ids.
+
+    Hillis-Steele doubling: after the last step, the FIRST row of every
+    equal-id run holds the max over the whole run. O(N log N) elementwise
+    work, no scatter. ids must be sorted ascending.
+    """
+    n, c = feats.shape
+    neg = jnp.finfo(feats.dtype).min
+    d = 1
+    while d < n:
+        same = jnp.concatenate(
+            [ids[d:] == ids[:-d], jnp.zeros((d,), bool)]
+        )
+        shifted = jnp.concatenate(
+            [feats[d:], jnp.full((d, c), neg, feats.dtype)]
+        )
+        feats = jnp.where(same[:, None], jnp.maximum(feats, shifted), feats)
+        d *= 2
+    return feats
+
+
+def scatter_max_to_grid_sorted(point_feats, flat_ids, valid, height, width):
+    """Scatter-free pillar max-pool: sort + segmented scan + gather.
+
+    XLA's scatter-max loops over indices on TPU (~33 ms for 262k points into
+    a 1440^2 x 32 grid). This formulation uses only TPU-friendly primitives:
+
+      1. argsort points by pillar id (invalid ids = H*W sort last),
+      2. reverse segmented max scan over the sorted rows (log2(N) vectorized
+         shift+select passes) so each run head carries its pillar's max,
+      3. one unrolled binary search of every grid position into the sorted
+         id array (the 1 MB id table stays cache/VMEM resident),
+      4. one row gather to materialize the dense grid.
+
+    Numerically exact (max is order-free); same contract as
+    `scatter_max_to_grid`.
+    """
+    hw = height * width
+
+    def one(feats, ids, ok):
+        n, c = feats.shape
+        neg = jnp.finfo(feats.dtype).min
+        order = jnp.argsort(ids)
+        ids_s = ids[order]
+        feats_s = jnp.where(ok[order][:, None], feats[order], neg)
+        feats_s = _segmented_suffix_max(feats_s, ids_s)
+
+        # leftmost index of every grid id in ids_s, branchless binary search
+        q = jnp.arange(hw, dtype=jnp.int32)
+        pos = jnp.zeros((hw,), jnp.int32)
+        step = 1
+        while step < n:
+            step *= 2
+        step //= 2
+        while step > 0:
+            probe = pos + step
+            # ids_s[probe-1] < q  ->  answer is at probe or later
+            v = ids_s[jnp.minimum(probe, n) - 1]
+            pos = jnp.where((probe <= n) & (v < q), probe, pos)
+            step //= 2
+        hit = ids_s[jnp.minimum(pos, n - 1)] == q
+        grid = jnp.where(
+            hit[:, None], feats_s[jnp.minimum(pos, n - 1)], jnp.zeros((), feats.dtype)
+        )
+        return grid.reshape(height, width, c), hit.reshape(height, width)
+
+    return jax.vmap(one)(point_feats, flat_ids, valid)
+
+
 def scatter_max_to_grid(point_feats, flat_ids, valid, height, width):
     """Segment-max point features into the dense BEV grid.
 

@@ -63,3 +63,89 @@ def test_pallas_scatter_gradient_matches_xla():
     g_xla = np.asarray(jax.grad(loss_xla)(jnp.array(feats)))
     g_pal = np.asarray(jax.grad(loss_pallas)(jnp.array(feats)))
     np.testing.assert_allclose(g_pal, g_xla, atol=1e-6)
+
+
+@pytest.mark.parametrize("tile_rows", [1, 4])
+def test_mxu_scatter_matches_xla(tile_rows):
+    from pillarnet_lts_tpu.ops.pallas.voxelize_kernel import (
+        pillar_scatter_max_mxu,
+    )
+
+    rng = np.random.RandomState(2)
+    B, N, C = 2, 600, 8
+    H, W = 16, 16
+    feats = rng.randn(B, N, C).astype(np.float32)
+    ids = rng.randint(0, H * W, (B, N)).astype(np.int32)
+    valid = rng.rand(B, N) > 0.3
+    ids_s = np.where(valid, ids, H * W).astype(np.int32)
+
+    want_grid, want_occ = scatter_max_to_grid(
+        jnp.array(feats), jnp.array(ids_s), jnp.array(valid), H, W
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got_grid, got_occ = pillar_scatter_max_mxu(
+            jnp.array(feats), jnp.array(ids_s), jnp.array(valid), H, W,
+            tile_rows,
+        )
+    np.testing.assert_array_equal(np.asarray(got_occ), np.asarray(want_occ))
+    np.testing.assert_allclose(
+        np.asarray(got_grid), np.asarray(want_grid), atol=1e-6
+    )
+
+
+def test_mxu_scatter_gradient_matches_xla():
+    from pillarnet_lts_tpu.ops.pallas.voxelize_kernel import (
+        pillar_scatter_max_mxu,
+    )
+
+    rng = np.random.RandomState(6)
+    B, N, C = 1, 300, 8
+    H = W = 16
+    feats = rng.randn(B, N, C).astype(np.float32)
+    ids = rng.randint(0, H * W, (B, N)).astype(np.int32)
+    valid = rng.rand(B, N) > 0.3
+    ids_s = np.where(valid, ids, H * W).astype(np.int32)
+    w = rng.randn(B, H, W, C).astype(np.float32)
+
+    def loss_xla(f):
+        g, _ = scatter_max_to_grid(f, jnp.array(ids_s), jnp.array(valid), H, W)
+        return (g * w).sum()
+
+    def loss_mxu(f):
+        with pltpu.force_tpu_interpret_mode():
+            g, _ = pillar_scatter_max_mxu(
+                f, jnp.array(ids_s), jnp.array(valid), H, W, 4
+            )
+        return (g * w).sum()
+
+    gx = jax.grad(loss_xla)(jnp.array(feats))
+    gm = jax.grad(loss_mxu)(jnp.array(feats))
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gx), atol=1e-5)
+
+
+def test_mxu_scatter_negative_max_across_chunks():
+    """A single pillar whose (all-negative) run spans a chunk boundary: the
+    first-touch-replace / later-max-combine logic must not clamp at the
+    zero init."""
+    from pillarnet_lts_tpu.ops.pallas.voxelize_kernel import (
+        pillar_scatter_max_mxu,
+    )
+
+    rng = np.random.RandomState(9)
+    B, N, C = 1, 600, 8
+    H = W = 4
+    feats = (-1.0 - np.abs(rng.randn(B, N, C))).astype(np.float32)
+    ids = np.zeros((B, N), np.int32)  # everything in pillar 0
+    valid = np.ones((B, N), bool)
+
+    want_grid, want_occ = scatter_max_to_grid(
+        jnp.array(feats), jnp.array(ids), jnp.array(valid), H, W
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got_grid, got_occ = pillar_scatter_max_mxu(
+            jnp.array(feats), jnp.array(ids), jnp.array(valid), H, W, 1
+        )
+    np.testing.assert_array_equal(np.asarray(got_occ), np.asarray(want_occ))
+    np.testing.assert_allclose(
+        np.asarray(got_grid), np.asarray(want_grid), atol=1e-6
+    )

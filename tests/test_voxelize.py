@@ -3,16 +3,13 @@ import jax.numpy as jnp
 
 from pillarnet_lts_tpu.ops.voxelize import PillarSpec, voxelize_points, scatter_max_to_grid
 
-
 SPEC = PillarSpec(pillar_size=0.5, pc_range=(0.0, -2.0, -3.0, 4.0, 2.0, 1.0))
-
 
 def test_spec_shape():
     assert SPEC.width == 8
     assert SPEC.height == 8
     assert SPEC.x_offset == 0.25
     assert SPEC.y_offset == -1.75
-
 
 def test_voxelize_ids_and_features():
     pts = np.array(
@@ -38,7 +35,6 @@ def test_voxelize_ids_and_features():
     np.testing.assert_allclose(feats[0, :2], [0.1 - 0.25, -1.9 + 1.75], atol=1e-6)
     # padded/out-of-range rows zeroed
     np.testing.assert_allclose(feats[3], 0.0)
-
 
 def test_scatter_max_matches_numpy():
     rng = np.random.RandomState(0)
@@ -69,3 +65,45 @@ def test_scatter_max_matches_numpy():
                 want_occ[s] = True
         np.testing.assert_array_equal(occ[b], want_occ)
         np.testing.assert_allclose(grid[b], want, atol=1e-6)
+
+def test_scatter_max_sorted_matches_xla():
+    from pillarnet_lts_tpu.ops.voxelize import scatter_max_to_grid_sorted
+
+    rng = np.random.RandomState(7)
+    for N in (100, 128, 257):  # non-power-of-two lengths included
+        B, C = 2, 12
+        H, W = 16, 8
+        feats = rng.randn(B, N, C).astype(np.float32)
+        ids = rng.randint(0, H * W, (B, N)).astype(np.int32)
+        valid = rng.rand(B, N) > 0.3
+        ids_m = np.where(valid, ids, H * W).astype(np.int32)
+        a_grid, a_occ = scatter_max_to_grid(
+            jnp.array(feats), jnp.array(ids_m), jnp.array(valid), H, W
+        )
+        b_grid, b_occ = scatter_max_to_grid_sorted(
+            jnp.array(feats), jnp.array(ids_m), jnp.array(valid), H, W
+        )
+        np.testing.assert_array_equal(np.asarray(a_occ), np.asarray(b_occ))
+        np.testing.assert_allclose(
+            np.asarray(a_grid), np.asarray(b_grid), atol=1e-6
+        )
+
+def test_scatter_max_sorted_all_and_none_valid():
+    from pillarnet_lts_tpu.ops.voxelize import scatter_max_to_grid_sorted
+
+    rng = np.random.RandomState(3)
+    B, N, C, H, W = 1, 64, 4, 4, 4
+    feats = rng.randn(B, N, C).astype(np.float32)
+    ids = rng.randint(0, H * W, (B, N)).astype(np.int32)
+    for valid in (np.ones((B, N), bool), np.zeros((B, N), bool)):
+        ids_m = np.where(valid, ids, H * W).astype(np.int32)
+        a = scatter_max_to_grid(
+            jnp.array(feats), jnp.array(ids_m), jnp.array(valid), H, W
+        )
+        b = scatter_max_to_grid_sorted(
+            jnp.array(feats), jnp.array(ids_m), jnp.array(valid), H, W
+        )
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+        np.testing.assert_allclose(
+            np.asarray(a[0]), np.asarray(b[0]), atol=1e-6
+        )
