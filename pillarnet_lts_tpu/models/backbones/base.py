@@ -115,14 +115,20 @@ def _tile4(v):
     return jnp.tile(v, 4)
 
 
-def conv_bn_act_s2d(conv: "MaskedConv", bn: MaskedBatchNorm, x, mask4,
+def conv_bn_act_s2d(conv: "MaskedConv", bn: MaskedBatchNorm, x, masks,
                     train, act=True):
     """s2d-space equivalent of `conv_bn_act` for a stride-1 SubM conv+BN.
 
-    x: (B, H/2, W/2, 4C_in); mask4: (B, H/2, W/2, 4) per-phase occupancy.
+    x: (B, H/2, W/2, 4C_in); masks = (mask4, maskc): the (B, H/2, W/2, 4)
+    per-phase occupancy (BN statistics) and its channel-expanded
+    (B, H/2, W/2, 4C) materialization (re-zeroing). maskc is materialized
+    ONCE per stage by the caller: an in-graph `repeat` per conv defeats
+    XLA's conv-epilogue fusion (measured 3x stage cost), and the multiply
+    must precede the activation for the epilogue to stay fused.
     BN statistics aggregate across the 4 phase blocks of each fine channel,
     exactly the fine-space masked statistics.
     """
+    mask4, maskc = masks
     c = conv.features
     w = expand_kernel_s2d(conv.kernel)
     if train:
@@ -145,10 +151,7 @@ def conv_bn_act_s2d(conv: "MaskedConv", bn: MaskedBatchNorm, x, mask4,
             (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        y = y + _tile4(shift).astype(y.dtype)
-        # flat channel-repeated mask: keeps the multiply a single NHWC
-        # elementwise pass (a rank-5 reshape forces relayout copies)
-        y = y * jnp.repeat(mask4.astype(y.dtype), c, axis=-1)
+        y = (y + _tile4(shift).astype(y.dtype)) * maskc
     return nn.relu(y) if act else y
 
 

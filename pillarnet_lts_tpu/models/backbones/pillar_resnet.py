@@ -69,6 +69,10 @@ class _PillarResNetBase(nn.Module):
         if use_s2d:
             x = s2d_pack(grid)
             occ4 = s2d_pack_mask(occ)
+            # channel-expanded re-zero mask, materialized once for the whole
+            # stage (per-conv repeats defeat conv-epilogue fusion)
+            occc = jnp.repeat(occ4, c, axis=-1).astype(self.dtype)
+            occ4 = (occ4, occc)
         else:
             x, occ4 = grid, occ
         x = Sparse2DBasicBlockV(

@@ -314,6 +314,28 @@ def _convex_intersection_area_sorted(a_quad, b_quad):
 _PAIRWISE_CHUNK = 512
 
 
+# Pairwise-overlap backend: "pallas" evaluates the identical Green-clip math
+# on (8, 128) pair tiles with all intermediates in registers (the XLA
+# lowering is VPU-bound on materialized temporaries); "jnp" is the pure-XLA
+# path; "auto" picks pallas on TPU. Override for experiments/debugging.
+_OVERLAP_BACKEND = "auto"
+
+
+def set_overlap_backend(name):
+    global _OVERLAP_BACKEND
+    assert name in ("auto", "jnp", "pallas")
+    _OVERLAP_BACKEND = name
+
+
+def _overlap_use_pallas():
+    if _OVERLAP_BACKEND != "auto":
+        return _OVERLAP_BACKEND == "pallas"
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 @jax.jit
 def rotated_overlap_bev(boxes_a, boxes_b):
     """Pairwise rotated BEV overlap area (N, M); pcdet BEV (.., 5) inputs.
@@ -325,6 +347,11 @@ def rotated_overlap_bev(boxes_a, boxes_b):
     cb = box_corners_bev(boxes_b)  # (M, 4, 2)
     n = ca.shape[0]
     m = cb.shape[0]
+
+    if _overlap_use_pallas() and n >= 8 and m >= 128:
+        from .pallas.iou_kernel import convex_intersection_area_pallas
+
+        return convex_intersection_area_pallas(ca, cb)
 
     if n <= _PAIRWISE_CHUNK:
         a, b = jnp.broadcast_arrays(ca[:, None], cb[None, :])

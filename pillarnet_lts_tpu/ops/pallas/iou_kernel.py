@@ -1,0 +1,158 @@
+"""Pallas TPU kernel: pairwise convex-quad intersection areas (rotated IoU).
+
+The jnp Green's-theorem formulation (`ops/iou3d.py::_convex_intersection_area`,
+reference semantics `iou3d_nms_kernel.cu:236-279`) is compute-bound on the
+VPU (~600 elementwise ops incl. 32 divides per pair) and measures ~19 ms for
+the 6x1000^2 nuScenes NMS workload. This kernel evaluates the same math on
+(8 x 128) pair tiles with every intermediate in registers.
+
+One kernel pass computes the ONE-SIDED sum of clipped-edge integrals
+(edges of the row-side quad clipped to the inside of the column-side quad).
+The full intersection area is
+
+    area(A ^ B+) = one_sided(A, B+) + one_sided(B+, A)^T
+
+assembled by the XLA-side wrapper (B+ = B enlarged by 1+1e-5, the same
+boundary regularization as the jnp path). Keeping each pallas_call to a
+single side holds the kernel near ~400 straight-line vector ops — inside
+what the remote Mosaic compiler handles comfortably.
+
+Row-side corners arrive as (T, K, 8) [x0 y0 x1 y1 x2 y2 x3 y3]; column-side
+corners arrive pre-transposed as (T, 8, K) so each coordinate is a
+broadcastable (1, 128) lane row.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-8
+_BIG = 1e9
+
+
+def _one_sided_kernel(a_ref, bt_ref, out_ref):
+    a = a_ref[0]     # (8, 8)   row boxes x corner coords
+    bt = bt_ref[0]   # (8, 128) corner coords x col boxes
+
+    # column-side clip planes: edge k from corner k to corner (k+1) % 4
+    c0x = [bt[2 * k:2 * k + 1, :] for k in range(4)]
+    c0y = [bt[2 * k + 1:2 * k + 2, :] for k in range(4)]
+    ex = [c0x[(k + 1) % 4] - c0x[k] for k in range(4)]
+    ey = [c0y[(k + 1) % 4] - c0y[k] for k in range(4)]
+
+    total = jnp.zeros(out_ref.shape[1:], jnp.float32)
+    for e in range(4):  # row-side edges
+        px = a[:, 2 * e:2 * e + 1]                    # (8, 1)
+        py = a[:, 2 * e + 1:2 * e + 2]
+        nxt = (e + 1) % 4
+        dx = a[:, 2 * nxt:2 * nxt + 1] - px
+        dy = a[:, 2 * nxt + 1:2 * nxt + 2] - py
+
+        lower = jnp.full(total.shape, -_BIG, jnp.float32)
+        upper = jnp.full(total.shape, _BIG, jnp.float32)
+        for k in range(4):  # clip planes
+            relx = px - c0x[k]                        # (8, 128)
+            rely = py - c0y[k]
+            alpha = ex[k] * rely - ey[k] * relx
+            beta = ex[k] * dy - ey[k] * dx
+            parallel = jnp.abs(beta) < _EPS
+            bound = -alpha / jnp.where(parallel, 1.0, beta)
+            lo_k = jnp.where(
+                parallel,
+                jnp.where(alpha >= -_EPS, -_BIG, _BIG),
+                jnp.where(beta > 0, bound, -_BIG),
+            )
+            up_k = jnp.where(
+                parallel, _BIG, jnp.where(beta > 0, _BIG, bound)
+            )
+            lower = jnp.maximum(lower, lo_k)
+            upper = jnp.minimum(upper, up_k)
+
+        t0 = jnp.maximum(lower, 0.0)
+        t1 = jnp.minimum(upper, 1.0)
+        keep = (t1 > t0).astype(jnp.float32)
+        v0x = px + t0 * dx
+        v0y = py + t0 * dy
+        v1x = px + t1 * dx
+        v1y = py + t1 * dy
+        total = total + 0.5 * (v0x * v1y - v0y * v1x) * keep
+
+    out_ref[0] = total
+
+
+def _one_sided(a_flat, bt_flat):
+    """a_flat: (T, Ka, 8); bt_flat: (T, 8, Kb) -> (T, Ka, Kb) edge-integral
+    sums of a's edges clipped inside b. Ka % 8 == 0, Kb % 128 == 0."""
+    t, ka, _ = a_flat.shape
+    kb = bt_flat.shape[2]
+    return pl.pallas_call(
+        _one_sided_kernel,
+        grid=(t, ka // 8, kb // 128),
+        in_specs=[
+            pl.BlockSpec((1, 8, 8), lambda ti, i, j: (ti, i, 0)),
+            pl.BlockSpec((1, 8, 128), lambda ti, i, j: (ti, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda ti, i, j: (ti, i, j)),
+        out_shape=jax.ShapeDtypeStruct((t, ka, kb), jnp.float32),
+    )(a_flat, bt_flat)
+
+
+_ENLARGE = 1e-5  # must match ops/iou3d.py
+
+
+def convex_intersection_area_pallas(a_quad, b_quad):
+    """Exact pairwise intersection areas of convex CCW quads.
+
+    a_quad: (..., Ka, 4, 2); b_quad: (..., Kb, 4, 2) -> (..., Ka, Kb).
+    Matches `ops.iou3d._convex_intersection_area` applied to the broadcasted
+    pair grid (including the B-side 1+1e-5 boundary regularization).
+    """
+    a_quad = a_quad.astype(jnp.float32)
+    b_quad = b_quad.astype(jnp.float32)
+    batch = a_quad.shape[:-3]
+    ka = a_quad.shape[-3]
+    kb = b_quad.shape[-3]
+    t = 1
+    for d in batch:
+        t *= d
+
+    center = b_quad.mean(axis=-2, keepdims=True)
+    b_plus = center + (b_quad - center) * (1.0 + _ENLARGE)
+
+    a = a_quad.reshape(t, ka, 8)
+    bp = b_plus.reshape(t, kb, 8)
+    # rows pad to 8, cols to 128; padded entries produce finite garbage that
+    # is sliced off below (their integrals never mix into real pairs)
+
+    def pad_rows(x, mult):
+        n = x.shape[1]
+        return jnp.pad(x, ((0, 0), (0, (-n) % mult), (0, 0)),
+                       constant_values=-1e6)
+
+    side_ab = _one_sided(pad_rows(a, 8),
+                         jnp.swapaxes(pad_rows(bp, 128), 1, 2))
+    # mirrored side: edges of B+ clipped inside A, then transposed
+    side_ba = _one_sided(pad_rows(bp, 8),
+                         jnp.swapaxes(pad_rows(a, 128), 1, 2))
+
+    area = (
+        side_ab[:, :ka, :kb]
+        + jnp.swapaxes(side_ba[:, :kb, :ka], 1, 2)
+    )
+
+    # same exact upper bound as the jnp path: min of the two shoelace areas
+    def _quad_area(qd):
+        x, y = qd[..., 0], qd[..., 1]
+        xn = jnp.roll(x, -1, axis=-1)
+        yn = jnp.roll(y, -1, axis=-1)
+        return 0.5 * jnp.abs((x * yn - y * xn).sum(axis=-1))
+
+    cap = jnp.minimum(
+        _quad_area(a_quad).reshape(t, ka)[:, :, None],
+        _quad_area(b_quad).reshape(t, kb)[:, None, :],
+    )
+    area = jnp.clip(area, 0.0, cap)
+    return area.reshape(*batch, ka, kb)

@@ -208,27 +208,48 @@ def _mxu_kernel(tile_starts_ref, ids_ref, feats_ref, grid_ref,
         jax.lax.broadcasted_iota(jnp.int32, (tile_pillars, _MXU_CHUNK), 0)
         + base
     )
-    c_pad = feats_vmem.shape[1]
+    c_pad = feats_vmem.shape[2]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad), 1)
     id_lane = (lane == id_col).astype(jnp.float32)
     occ_lane = (lane == occ_col).astype(jnp.float32)
 
-    def chunk_body(ci, _):
+    def start_copies(ci, slot):
         offs = pl.multiple_of(astart + ci * _MXU_CHUNK, _MXU_CHUNK)
         gi = offs // _MXU_CHUNK
         g0 = (gi // 8) * 8  # HBM sublane slices must be 8-aligned
-        copy_f = pltpu.make_async_copy(
-            feats_ref.at[pl.ds(offs, _MXU_CHUNK), :], feats_vmem, sem.at[0],
-        )
-        copy_i = pltpu.make_async_copy(
-            ids_ref.at[pl.ds(g0, 8), :], ids_vmem, sem.at[1],
-        )
-        copy_f.start()
-        copy_i.start()
-        copy_f.wait()
-        copy_i.wait()
+        pltpu.make_async_copy(
+            feats_ref.at[pl.ds(offs, _MXU_CHUNK), :],
+            feats_vmem.at[slot], sem.at[2 * slot],
+        ).start()
+        pltpu.make_async_copy(
+            ids_ref.at[pl.ds(g0, 8), :], ids_vmem.at[slot],
+            sem.at[2 * slot + 1],
+        ).start()
 
-        vals = feats_vmem[:]  # (CHUNK, c_pad) fp32
+    @pl.when(num_chunks > 0)
+    def _():
+        start_copies(0, 0)
+
+    def chunk_body(ci, _):
+        offs = pl.multiple_of(astart + ci * _MXU_CHUNK, _MXU_CHUNK)
+        gi = offs // _MXU_CHUNK
+        g0 = (gi // 8) * 8
+        slot = jax.lax.rem(ci, 2)
+        pltpu.make_async_copy(
+            feats_ref.at[pl.ds(offs, _MXU_CHUNK), :],
+            feats_vmem.at[slot], sem.at[2 * slot],
+        ).wait()
+        pltpu.make_async_copy(
+            ids_ref.at[pl.ds(g0, 8), :], ids_vmem.at[slot],
+            sem.at[2 * slot + 1],
+        ).wait()
+
+        # double buffering: next chunk's DMA overlaps this chunk's compute
+        @pl.when(ci + 1 < num_chunks)
+        def _():
+            start_copies(ci + 1, 1 - slot)
+
+        vals = feats_vmem[slot]  # (CHUNK, c_pad) fp32
         # pillar id per row, extracted as a lane-masked reduction
         idc = (vals * id_lane).sum(axis=1, keepdims=True)  # (CHUNK, 1)
 
@@ -250,12 +271,17 @@ def _mxu_kernel(tile_starts_ref, ids_ref, feats_ref, grid_ref,
         )
         vals = jnp.where(idc != prev, vals, 0.0)  # non-heads drop out
 
-        row = ids_vmem[pl.ds(gi - g0, 1), :]  # (1, CHUNK) int32
+        row = ids_vmem[slot, pl.ds(gi - g0, 1), :]  # (1, CHUNK) int32
         onehot = (row == row_ids).astype(dot_dtype)
         contrib = jax.lax.dot_general(
             onehot, vals.astype(dot_dtype),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # fp32 inputs must not round through bf16 MXU passes: the grid
+            # values feed an exact-match winner test in the VJP
+            precision=(jax.lax.Precision.HIGHEST
+                       if dot_dtype == jnp.float32 else
+                       jax.lax.Precision.DEFAULT),
         )
         # a pillar appears at most once per chunk; combine chunks by max,
         # gated on occupancy columns: rows the chunk does not touch stay
@@ -349,9 +375,9 @@ def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows):
                     memory_space=pltpu.VMEM,
                 ),
                 scratch_shapes=[
-                    pltpu.VMEM((_MXU_CHUNK, c_pad), aug.dtype),
-                    pltpu.VMEM((8, _MXU_CHUNK), jnp.int32),
-                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.VMEM((2, _MXU_CHUNK, c_pad), aug.dtype),
+                    pltpu.VMEM((2, 8, _MXU_CHUNK), jnp.int32),
+                    pltpu.SemaphoreType.DMA((4,)),
                 ],
             ),
             out_shape=jax.ShapeDtypeStruct(

@@ -5,9 +5,10 @@ Single entry point so the reader doesn't care which backend implements the
 segment max (reference equivalent: `scatter_max`,
 `det3d/ops/pillar_ops/scatter_utils.py:37` + `src/scatter_ops_gpu.cu:13-45`).
 
-Backend selection: 'auto' uses the Pallas kernel on TPU backends and the
-XLA scatter on CPU/interpret; override with
-`pillarnet_lts_tpu.ops.scatter.set_backend('xla'|'pallas')`.
+Backend selection: 'auto' uses the MXU one-hot-matmul kernel on TPU
+backends (fastest measured: 18 ms vs 23 ms loop kernel vs 33 ms XLA for
+262k points -> 1440^2 x 32) and the XLA scatter on CPU/interpret; override
+with `pillarnet_lts_tpu.ops.scatter.set_backend('xla'|'pallas'|'mxu')`.
 """
 
 import jax
@@ -19,7 +20,7 @@ _BACKEND = "auto"
 
 def set_backend(name):
     global _BACKEND
-    assert name in ("auto", "xla", "pallas", "sort")
+    assert name in ("auto", "xla", "pallas", "mxu", "sort")
     _BACKEND = name
 
 
@@ -30,7 +31,7 @@ def _resolve():
         platform = jax.default_backend()
     except Exception:
         return "xla"
-    return "pallas" if platform not in ("cpu",) else "xla"
+    return "mxu" if platform not in ("cpu",) else "xla"
 
 
 def pillar_scatter_max(point_feats, flat_ids, valid, height, width):
@@ -40,6 +41,12 @@ def pillar_scatter_max(point_feats, flat_ids, valid, height, width):
         from .pallas.voxelize_kernel import pillar_scatter_max_pallas
 
         return pillar_scatter_max_pallas(
+            point_feats, flat_ids, valid, height, width
+        )
+    if backend == "mxu":
+        from .pallas.voxelize_kernel import pillar_scatter_max_mxu
+
+        return pillar_scatter_max_mxu(
             point_feats, flat_ids, valid, height, width
         )
     if backend == "sort":
