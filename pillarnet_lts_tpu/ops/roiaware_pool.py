@@ -1,0 +1,148 @@
+"""RoI-aware 3D voxel pooling (TPU-native).
+
+Device equivalents of the reference `roiaware_pool3d_cuda` surface
+(`det3d/ops/roiaware_pool3d/roiaware_pool3d_utils.py:42-150`,
+`src/roiaware_pool3d_kernel.cu:16-120`): assign each point to a voxel of
+every RoI's canonical (out_x, out_y, out_z) grid and max/avg-pool point
+features per voxel.
+
+TPU-first formulation: instead of the reference's two-kernel
+collect-then-pool (a per-voxel index list capped at `max_pts_each_voxel`,
+`roiaware_pool3d_kernel.cu:93-120`), the pair grid of canonical coordinates
+is computed by broadcast math and pooling is a single `segment_max` /
+`segment_sum` over flattened (roi, voxel) ids — static shapes, no
+data-dependent loops, differentiable through JAX's segment-op gradients
+(replacing the hand-written CUDA backward, `roiaware_pool3d_kernel.cu:
+160-210`). Exactly equivalent to the reference whenever a voxel holds at
+most `max_pts_each_voxel` points (the reference silently drops the
+overflow; this implementation pools all points).
+
+Box convention: det3d (x, y, z, w, l, h, yaw) with z the box CENTER, as
+accepted by the reference wrappers which convert to pcdet (dx, dy, dz,
+heading) via `to_pcdet` (`roiaware_pool3d_utils.py:15-19`). The z test is
+strict, the x/y test carries the reference's 1e-5 margin
+(`roiaware_pool3d_kernel.cu:23-36`).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_MARGIN = 1e-5
+
+
+def _to_pcdet(boxes):
+    """det3d (x,y,z,w,l,h,yaw) -> pcdet (x,y,z,dx,dy,dz,heading).
+
+    Mirrors `roiaware_pool3d_utils.py:15-19`: swap w/l, heading = -yaw - pi/2.
+    """
+    out = boxes[..., (0, 1, 2, 4, 3, 5, 6)]
+    return out.at[..., 6].set(-boxes[..., 6] - jnp.pi / 2)
+
+
+def _canonical_coords(points, boxes_pcdet):
+    """points (P, 3), boxes (N, 7) -> local (P, N) x/y/z + in-box mask.
+
+    `lidar_to_local_coords` + `check_pt_in_box3d`
+    (`roiaware_pool3d_kernel.cu:16-36`).
+    """
+    rel = points[:, None, :3] - boxes_pcdet[None, :, :3]
+    rz = boxes_pcdet[:, 6]
+    cosa = jnp.cos(-rz)
+    sina = jnp.sin(-rz)
+    lx = rel[..., 0] * cosa - rel[..., 1] * sina
+    ly = rel[..., 0] * sina + rel[..., 1] * cosa
+    lz = rel[..., 2]
+    half = boxes_pcdet[:, 3:6] * 0.5
+    inside = (
+        (jnp.abs(lz) <= half[None, :, 2])
+        & (jnp.abs(lx) < half[None, :, 0] + _MARGIN)
+        & (jnp.abs(ly) < half[None, :, 1] + _MARGIN)
+    )
+    return lx, ly, lz, inside
+
+
+def points_in_boxes_index(points, boxes):
+    """First containing box per point, -1 for background.
+
+    points (P, 3+), boxes (N, 7) det3d -> (P,) int32. Equivalent of
+    `points_in_boxes_gpu` for one sample (`roiaware_pool3d_utils.py:42-57`,
+    kernel `roiaware_pool3d_kernel.cu:334-354` — first match wins).
+    """
+    _, _, _, inside = _canonical_coords(points[:, :3], _to_pcdet(boxes))
+    n = boxes.shape[0]
+    first = jnp.argmax(inside, axis=1)
+    return jnp.where(inside.any(axis=1), first, -1).astype(jnp.int32)
+
+
+def points_in_boxes_batch(points, boxes):
+    """Batched `points_in_boxes_index`: (B, M, 3), (B, T, 7) -> (B, M)."""
+    return jax.vmap(points_in_boxes_index)(points, boxes)
+
+
+@partial(jax.jit, static_argnames=("out_size", "pool"))
+def roiaware_pool3d(rois, points, point_feats, out_size, pool="max"):
+    """Pool point features into each RoI's canonical voxel grid.
+
+    rois (N, 7) det3d boxes, points (P, 3), point_feats (P, C),
+    out_size int or (out_x, out_y, out_z) -> (N, out_x, out_y, out_z, C).
+    `RoIAwarePool3dFunction.forward` (`roiaware_pool3d_utils.py:94-136`).
+    Empty voxels pool to 0 (reference zero-init). Differentiable in
+    `point_feats`.
+    """
+    assert pool in ("max", "avg")
+    if isinstance(out_size, int):
+        ox = oy = oz = out_size
+    else:
+        ox, oy, oz = out_size
+
+    boxes = _to_pcdet(rois)
+    lx, ly, lz, inside = _canonical_coords(points[:, :3], boxes)
+
+    n = rois.shape[0]
+    p = points.shape[0]
+    c = point_feats.shape[-1]
+    dims = boxes[:, 3:6]  # (N, 3) dx, dy, dz
+
+    # voxel index: floor((local + d/2) / (d / out)), clamped
+    # (`roiaware_pool3d_kernel.cu:75-86`)
+    def vidx(local, d, out):
+        i = jnp.floor((local + d[None, :] * 0.5) * out / d[None, :])
+        return jnp.clip(i, 0, out - 1).astype(jnp.int32)
+
+    xi = vidx(lx, dims[:, 0], ox)
+    yi = vidx(ly, dims[:, 1], oy)
+    zi = vidx(lz, dims[:, 2], oz)
+
+    vox = (xi * oy + yi) * oz + zi  # (P, N)
+    nvox = ox * oy * oz
+    seg = jnp.where(
+        inside, jnp.arange(n)[None, :] * nvox + vox, n * nvox
+    ).astype(jnp.int32)
+
+    flat_seg = seg.reshape(-1)  # (P*N,)
+    flat_feats = jnp.broadcast_to(
+        point_feats[:, None, :], (p, n, c)
+    ).reshape(-1, c)
+
+    if pool == "max":
+        pooled = jax.ops.segment_max(
+            flat_feats, flat_seg, num_segments=n * nvox + 1
+        )
+        count = jax.ops.segment_sum(
+            jnp.ones((p * n,), jnp.int32), flat_seg,
+            num_segments=n * nvox + 1,
+        )
+        pooled = jnp.where((count > 0)[:, None], pooled, 0.0)
+    else:
+        total = jax.ops.segment_sum(
+            flat_feats, flat_seg, num_segments=n * nvox + 1
+        )
+        count = jax.ops.segment_sum(
+            jnp.ones((p * n,), flat_feats.dtype), flat_seg,
+            num_segments=n * nvox + 1,
+        )
+        pooled = total / jnp.maximum(count, 1.0)[:, None]
+
+    return pooled[: n * nvox].reshape(n, ox, oy, oz, c)
