@@ -115,8 +115,61 @@ def _tile4(v):
     return jnp.tile(v, 4)
 
 
+# ---------------------------------------------------------------------------
+# Overlapped W-tiling ("manual space-to-batch") for the wide stride-1 stages.
+#
+# XLA's SpaceToBatchConverter runs every batch-1 BEV conv as batch=8 tiles of
+# W, but converts back to plain layout after each conv because the masked
+# epilogue operands are not space-to-batch-ed — costing a ~400 MB
+# pad+copy+copy round trip PER CONV (measured: conv1 33 ms / conv2 19 ms
+# in-model vs ~10 / ~7 ms isolated). Tiling a whole stage ONCE with a halo
+# equal to the stage's conv count keeps every tensor in batch-tile form for
+# the stage's entire conv chain: each 3x3 conv runs with no W padding and
+# consumes one halo column per side ("halo decay"), epilogues fuse, and the
+# only data movement is one chunk + one reassembly per stage. The 2*halo/w0
+# redundant columns (~15-20%) are pure MXU work — far cheaper than the
+# relayouts (disabling the XLA pass instead measures SLOWER: batch-1 convs
+# underutilize the core). Numerically exact: halo columns recompute exactly
+# the neighbouring tile's interior values and are sliced off.
+# ---------------------------------------------------------------------------
+
+
+def w_chunk(x, nc, halo):
+    """(B, H, W, ...) -> (B*nc, H, W/nc + 2*halo, ...) overlapped W tiles.
+
+    Requires W % nc == 0. Edge tiles are zero-padded (same values a SAME-
+    padded conv would see).
+    """
+    b, h, w = x.shape[:3]
+    w0 = w // nc
+    pad = ((0, 0), (0, 0), (halo, halo)) + ((0, 0),) * (x.ndim - 3)
+    xp = jnp.pad(x, pad)
+    parts = [
+        xp[:, :, i * w0 : i * w0 + w0 + 2 * halo] for i in range(nc)
+    ]
+    y = jnp.stack(parts, axis=1)  # (B, nc, H, w0 + 2*halo, ...)
+    return y.reshape((b * nc, h, w0 + 2 * halo) + x.shape[3:])
+
+
+def w_unchunk(x, nc):
+    """Inverse of `w_chunk` after the halo has fully decayed:
+    (B*nc, H, w0, ...) -> (B, H, nc*w0, ...)."""
+    bn_, h, w0 = x.shape[:3]
+    b = bn_ // nc
+    y = x.reshape((b, nc, h, w0) + x.shape[3:])
+    y = jnp.moveaxis(y, 1, 2)  # (B, H, nc, w0, ...)
+    return y.reshape((b, h, nc * w0) + x.shape[3:])
+
+
+def center_w(x, w):
+    """Symmetric center crop of the W axis (axis 2) to width `w`."""
+    cur = x.shape[2]
+    off = (cur - w) // 2
+    return x if off == 0 else x[:, :, off : cur - off]
+
+
 def conv_bn_act_s2d(conv: "MaskedConv", bn: MaskedBatchNorm, x, masks,
-                    train, act=True):
+                    train, act=True, chunked=False):
     """s2d-space equivalent of `conv_bn_act` for a stride-1 SubM conv+BN.
 
     x: (B, H/2, W/2, 4C_in); masks = (mask4, maskc): the (B, H/2, W/2, 4)
@@ -127,11 +180,17 @@ def conv_bn_act_s2d(conv: "MaskedConv", bn: MaskedBatchNorm, x, masks,
     must precede the activation for the epilogue to stay fused.
     BN statistics aggregate across the 4 phase blocks of each fine channel,
     exactly the fine-space masked statistics.
+
+    `chunked`: x is in `w_chunk` overlapped-tile form — the conv runs with
+    no W padding (consuming one halo column per side) and the mask operands
+    are center-cropped to the shrunk width.
     """
     mask4, maskc = masks
     c = conv.features
     w = expand_kernel_s2d(conv.kernel)
+    wpad = (0, 0) if chunked else (1, 1)
     if train:
+        assert not chunked, "chunked stage execution is inference-only"
         b = _tile4(conv.bias) if conv.use_bias else None
         y = jax.lax.conv_general_dilated(
             x.astype(conv.dtype), w.astype(conv.dtype), (1, 1),
@@ -148,10 +207,11 @@ def conv_bn_act_s2d(conv: "MaskedConv", bn: MaskedBatchNorm, x, masks,
             shift = conv.bias * inv + shift
         y = jax.lax.conv_general_dilated(
             x.astype(conv.dtype), (w * _tile4(inv)).astype(conv.dtype),
-            (1, 1), ((1, 1), (1, 1)),
+            (1, 1), ((1, 1), wpad),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        y = (y + _tile4(shift).astype(y.dtype)) * maskc
+        m = center_w(maskc, y.shape[2]) if chunked else maskc
+        y = (y + _tile4(shift).astype(y.dtype)) * m
     return nn.relu(y) if act else y
 
 
@@ -194,43 +254,46 @@ class MaskedConv(nn.Module):
                 "bias", self.bias_init, (self.features,), jnp.float32
             )
 
-    def _run(self, x, w, b):
+    def _run(self, x, w, b, pad_w=True):
         pad = (self.kernel_size - 1) // 2
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             w.astype(self.dtype),
             window_strides=(self.stride, self.stride),
-            padding=((pad, pad), (pad, pad)),
+            padding=((pad, pad), (pad, pad) if pad_w else (0, 0)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if b is not None:
             y = y + b.astype(y.dtype)
         return y
 
-    def __call__(self, x):
+    def __call__(self, x, pad_w=True):
         b = self.bias if self.use_bias else None
-        return self._run(x, self.kernel, b)
+        return self._run(x, self.kernel, b, pad_w=pad_w)
 
-    def folded(self, x, inv, shift):
+    def folded(self, x, inv, shift, pad_w=True):
         """conv with the following BN's affine folded in:
         BN(conv(x) + cb) = conv(x) * inv + (cb * inv + shift)."""
         w = self.kernel * inv  # (k, k, in, out) * (out,)
         b = self.bias * inv + shift if self.use_bias else shift
-        return self._run(x, w, b)
+        return self._run(x, w, b, pad_w=pad_w)
 
 
 def conv_bn_act(conv: MaskedConv, bn: MaskedBatchNorm, x, mask, train,
-                act=True):
+                act=True, chunked=False):
     """conv -> masked BN -> optional ReLU, with the BN affine folded into the
-    conv weights at inference."""
+    conv weights at inference. `chunked`: `w_chunk` overlapped-tile form —
+    no W padding, mask center-cropped to the shrunk width."""
     if train:
+        assert not chunked, "chunked stage execution is inference-only"
         y = conv(x)
         y = bn(y, mask=mask, train=True)
     else:
         inv, shift = bn.fold_factors()
-        y = conv.folded(x, inv, shift)
+        y = conv.folded(x, inv, shift, pad_w=not chunked)
         if mask is not None:
-            y = y * mask.astype(y.dtype)[..., None]
+            m = center_w(mask, y.shape[2]) if chunked else mask
+            y = y * m.astype(y.dtype)[..., None]
     return nn.relu(y) if act else y
 
 
@@ -255,11 +318,14 @@ class Sparse2DBasicBlock(nn.Module):
         self.conv2 = MaskedConv(self.planes, self.planes, dtype=self.dtype)
         self.bn2 = MaskedBatchNorm(self.planes, **kw)
 
-    def __call__(self, x, mask, train: bool = True):
+    def __call__(self, x, mask, train: bool = True, chunked: bool = False):
         run = conv_bn_act_s2d if self.s2d else conv_bn_act
         identity = x
-        out = run(self.conv1, self.bn1, x, mask, train)
-        out = run(self.conv2, self.bn2, out, mask, train, act=False)
+        out = run(self.conv1, self.bn1, x, mask, train, chunked=chunked)
+        out = run(self.conv2, self.bn2, out, mask, train, act=False,
+                  chunked=chunked)
+        if chunked:
+            identity = center_w(identity, out.shape[2])
         return nn.relu(out + identity)
 
 
@@ -284,12 +350,16 @@ class Sparse2DBasicBlockV(nn.Module):
         self.conv2 = MaskedConv(self.planes, self.planes, dtype=self.dtype)
         self.bn2 = MaskedBatchNorm(self.planes, **kw)
 
-    def __call__(self, x, mask, train: bool = True):
+    def __call__(self, x, mask, train: bool = True, chunked: bool = False):
         run = conv_bn_act_s2d if self.s2d else conv_bn_act
-        x = run(self.conv0, self.bn0, x, mask, train, act=False)
+        x = run(self.conv0, self.bn0, x, mask, train, act=False,
+                chunked=chunked)
         identity = x
-        out = run(self.conv1, self.bn1, x, mask, train)
-        out = run(self.conv2, self.bn2, out, mask, train, act=False)
+        out = run(self.conv1, self.bn1, x, mask, train, chunked=chunked)
+        out = run(self.conv2, self.bn2, out, mask, train, act=False,
+                  chunked=chunked)
+        if chunked:
+            identity = center_w(identity, out.shape[2])
         return nn.relu(out + identity)
 
 
@@ -305,6 +375,10 @@ class SparseDownStage(nn.Module):
     dtype: Any = jnp.float32
     in_channels: Optional[int] = None  # defaults to channels // 2
     s2d_in: bool = False  # input arrives in s2d layout (stride must be 2)
+    # overlapped W-tiling of the residual blocks at inference (see w_chunk);
+    # 0 disables; applies only when the stage output W >= chunk_min_w
+    chunk_nc: int = 0
+    chunk_min_w: int = 512
 
     def setup(self):
         cin = (self.channels // 2 if self.in_channels is None
@@ -352,8 +426,22 @@ class SparseDownStage(nn.Module):
             y = nn.relu(y)
         else:
             y = conv_bn_act(self.down_conv, self.down_bn, x, new_mask, train)
-        for blk in self.blocks:
-            y = blk(y, new_mask, train)
+        use_chunk = (
+            (not train)
+            and self.chunk_nc > 0
+            and y.shape[2] >= self.chunk_min_w
+            and y.shape[2] % self.chunk_nc == 0
+        )
+        if use_chunk:
+            halo = 2 * self.num_blocks
+            yc = w_chunk(y, self.chunk_nc, halo)
+            mc = w_chunk(new_mask, self.chunk_nc, halo)
+            for blk in self.blocks:
+                yc = blk(yc, mc, train, chunked=True)
+            y = w_unchunk(yc, self.chunk_nc)
+        else:
+            for blk in self.blocks:
+                y = blk(y, new_mask, train)
         return y, new_mask
 
 

@@ -26,6 +26,8 @@ from .base import (
     s2d_pack,
     s2d_pack_mask,
     s2d_unpack,
+    w_chunk,
+    w_unchunk,
 )
 
 
@@ -41,6 +43,12 @@ class _PillarResNetBase(nn.Module):
     # layout — numerically equivalent, ~3.5x faster on the MXU at 32
     # channels (see base.py). Parameters are identical either way.
     s2d_stage1: bool = True
+    # inference-time overlapped W-tiling of the wide stride-1 stages
+    # (conv1 + conv2 residual blocks): keeps XLA's space-to-batch conv form
+    # for a whole stage instead of paying a relayout round trip per conv
+    # (see base.py w_chunk). 0 disables. Exact numerics either way.
+    chunk_nc: int = 8
+    chunk_min_w: int = 512
 
     @property
     def backbone_channels(self):
@@ -75,13 +83,33 @@ class _PillarResNetBase(nn.Module):
             occ4 = (occ4, occc)
         else:
             x, occ4 = grid, occ
+
+        use_chunk = (
+            (not train)
+            and self.chunk_nc > 0
+            and x.shape[2] >= self.chunk_min_w
+            and x.shape[2] % self.chunk_nc == 0
+        )
+        if use_chunk:
+            halo = 3 + 2 * (self.conv1_blocks - 1)  # convs in stage 1
+            x = w_chunk(x, self.chunk_nc, halo)
+            if use_s2d:
+                occ4 = (
+                    w_chunk(occ4[0], self.chunk_nc, halo),
+                    w_chunk(occ4[1], self.chunk_nc, halo),
+                )
+            else:
+                occ4 = w_chunk(occ4, self.chunk_nc, halo)
+
         x = Sparse2DBasicBlockV(
             c, dtype=self.dtype, s2d=use_s2d, name="conv1_block0"
-        )(x, occ4, train)
+        )(x, occ4, train, chunked=use_chunk)
         for i in range(1, self.conv1_blocks):
             x = Sparse2DBasicBlock(
                 c, dtype=self.dtype, s2d=use_s2d, name=f"conv1_block{i}"
-            )(x, occ4, train)
+            )(x, occ4, train, chunked=use_chunk)
+        if use_chunk:
+            x = w_unchunk(x, self.chunk_nc)
         # fine-layout stage-1 output for consumers of the dict entry; dead
         # code (eliminated by XLA) when nothing reads backbone['conv1']
         x1 = s2d_unpack(x, c) if use_s2d else x
@@ -89,14 +117,17 @@ class _PillarResNetBase(nn.Module):
 
         x2, m2 = SparseDownStage(
             c * 2, self.stage_blocks[0], in_channels=c, dtype=self.dtype,
-            s2d_in=use_s2d, name="conv2",
+            s2d_in=use_s2d, chunk_nc=self.chunk_nc,
+            chunk_min_w=self.chunk_min_w, name="conv2",
         )(x, m1, train)
         x3, m3 = SparseDownStage(
             c * 4, self.stage_blocks[1], in_channels=c * 2, dtype=self.dtype,
+            chunk_nc=self.chunk_nc, chunk_min_w=self.chunk_min_w,
             name="conv3",
         )(x2, m2, train)
         x4, m4 = SparseDownStage(
             c * 8, self.stage_blocks[2], in_channels=c * 4, dtype=self.dtype,
+            chunk_nc=self.chunk_nc, chunk_min_w=self.chunk_min_w,
             name="conv4",
         )(x3, m3, train)
 

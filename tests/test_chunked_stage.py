@@ -1,0 +1,56 @@
+"""Overlapped W-tiling (inference) must reproduce the plain eval forward."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pillarnet_lts_tpu.models.backbones.pillar_resnet import (
+    PillarResNet18,
+    PillarResNet34S,
+)
+
+
+def _inputs(seed, h=64, w=64, c=32):
+    rng = np.random.RandomState(seed)
+    occ = rng.rand(1, h, w) < 0.15
+    grid = rng.randn(1, h, w, c).astype(np.float32) * occ[..., None]
+    return jnp.asarray(grid), jnp.asarray(occ)
+
+
+def _run(cls, grid, occ, **kw):
+    model = cls(in_channels=grid.shape[-1], **kw)
+    variables = model.init(jax.random.PRNGKey(0), grid, occ, train=False)
+    # non-default running stats so BN folding is not a no-op
+    variables = jax.tree.map(
+        lambda a: a + 0.05 if a.dtype == jnp.float32 else a, variables
+    )
+    out = model.apply(variables, grid, occ, train=False)
+    return {k: np.asarray(v[0]) for k, v in out.items()}
+
+
+def _assert_equiv(cls, s2d):
+    grid, occ = _inputs(0)
+    plain = _run(cls, grid, occ, s2d_stage1=s2d, chunk_nc=0)
+    chunked = _run(cls, grid, occ, s2d_stage1=s2d, chunk_nc=4, chunk_min_w=16)
+    assert plain.keys() == chunked.keys()
+    for k in plain:
+        np.testing.assert_allclose(
+            chunked[k], plain[k], atol=2e-4, rtol=1e-3, err_msg=k
+        )
+
+
+def test_chunked_equals_plain_s2d():
+    _assert_equiv(PillarResNet18, s2d=True)
+
+
+def test_chunked_equals_plain_fine():
+    _assert_equiv(PillarResNet34S, s2d=False)
+
+
+def test_chunked_gate_requires_divisible_width():
+    # W=60 is not divisible by 8: the gate must fall back to plain execution
+    grid, occ = _inputs(1, h=60, w=60)
+    out = _run(PillarResNet18, grid, occ, chunk_nc=8, chunk_min_w=16)
+    ref = _run(PillarResNet18, grid, occ, chunk_nc=0)
+    for k in out:
+        np.testing.assert_allclose(out[k], ref[k], atol=2e-4, rtol=1e-3)
