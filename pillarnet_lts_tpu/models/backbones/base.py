@@ -183,23 +183,29 @@ def conv_bn_act_s2d(conv: "MaskedConv", bn: MaskedBatchNorm, x, masks,
 
     `chunked`: x is in `w_chunk` overlapped-tile form — the conv runs with
     no W padding (consuming one halo column per side) and the mask operands
-    are center-cropped to the shrunk width.
+    are center-cropped to the shrunk width. In training, `masks` carries a
+    third element: the halo-zeroed statistics mask (halo columns duplicate
+    neighbouring tiles' interiors and must not be double-counted in BN
+    statistics; see MaskedBatchNorm.stat_mask).
     """
-    mask4, maskc = masks
+    mask4, maskc, *rest = masks
+    stat4 = rest[0] if rest else None
     c = conv.features
     w = expand_kernel_s2d(conv.kernel)
     wpad = (0, 0) if chunked else (1, 1)
     if train:
-        assert not chunked, "chunked stage execution is inference-only"
         b = _tile4(conv.bias) if conv.use_bias else None
         y = jax.lax.conv_general_dilated(
             x.astype(conv.dtype), w.astype(conv.dtype), (1, 1),
-            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ((1, 1), wpad), dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if b is not None:
             y = y + b.astype(y.dtype)
         bb, hh, ww, _ = y.shape
-        y = bn(y.reshape(bb, hh, ww, 4, c), mask=mask4, train=True)
+        m4 = center_w(mask4, ww) if chunked else mask4
+        s4 = center_w(stat4, ww) if (chunked and stat4 is not None) else None
+        y = bn(y.reshape(bb, hh, ww, 4, c), mask=m4, train=True,
+               stat_mask=s4)
         y = y.reshape(bb, hh, ww, 4 * c)
     else:
         inv, shift = bn.fold_factors()
@@ -283,11 +289,16 @@ def conv_bn_act(conv: MaskedConv, bn: MaskedBatchNorm, x, mask, train,
                 act=True, chunked=False):
     """conv -> masked BN -> optional ReLU, with the BN affine folded into the
     conv weights at inference. `chunked`: `w_chunk` overlapped-tile form —
-    no W padding, mask center-cropped to the shrunk width."""
+    no W padding, mask center-cropped to the shrunk width; in training
+    `mask` is then a (re-zero mask, halo-zeroed stat mask) pair."""
     if train:
-        assert not chunked, "chunked stage execution is inference-only"
-        y = conv(x)
-        y = bn(y, mask=mask, train=True)
+        y = conv(x, pad_w=not chunked)
+        if chunked:
+            m_full, m_stat = mask
+            y = bn(y, mask=center_w(m_full, y.shape[2]), train=True,
+                   stat_mask=center_w(m_stat, y.shape[2]))
+        else:
+            y = bn(y, mask=mask, train=True)
     else:
         inv, shift = bn.fold_factors()
         y = conv.folded(x, inv, shift, pad_w=not chunked)
@@ -375,10 +386,13 @@ class SparseDownStage(nn.Module):
     dtype: Any = jnp.float32
     in_channels: Optional[int] = None  # defaults to channels // 2
     s2d_in: bool = False  # input arrives in s2d layout (stride must be 2)
-    # overlapped W-tiling of the residual blocks at inference (see w_chunk);
-    # 0 disables; applies only when the stage output W >= chunk_min_w
+    # overlapped W-tiling of the residual blocks (see w_chunk); 0 disables;
+    # applies only when the stage output W >= chunk_min_w. chunk_train
+    # extends it to the training graph (numerically exact: BN statistics
+    # exclude halo columns via stat_mask).
     chunk_nc: int = 0
     chunk_min_w: int = 512
+    chunk_train: bool = True
 
     def setup(self):
         cin = (self.channels // 2 if self.in_channels is None
@@ -427,7 +441,7 @@ class SparseDownStage(nn.Module):
         else:
             y = conv_bn_act(self.down_conv, self.down_bn, x, new_mask, train)
         use_chunk = (
-            (not train)
+            (not train or self.chunk_train)
             and self.chunk_nc > 0
             and y.shape[2] >= self.chunk_min_w
             and y.shape[2] % self.chunk_nc == 0
@@ -436,6 +450,12 @@ class SparseDownStage(nn.Module):
             halo = 2 * self.num_blocks
             yc = w_chunk(y, self.chunk_nc, halo)
             mc = w_chunk(new_mask, self.chunk_nc, halo)
+            if train:
+                stat = jnp.pad(
+                    w_chunk(new_mask, self.chunk_nc, 0),
+                    ((0, 0), (0, 0), (halo, halo)),
+                )
+                mc = (mc, stat)
             for blk in self.blocks:
                 yc = blk(yc, mc, train, chunked=True)
             y = w_unchunk(yc, self.chunk_nc)

@@ -43,12 +43,14 @@ class _PillarResNetBase(nn.Module):
     # layout — numerically equivalent, ~3.5x faster on the MXU at 32
     # channels (see base.py). Parameters are identical either way.
     s2d_stage1: bool = True
-    # inference-time overlapped W-tiling of the wide stride-1 stages
-    # (conv1 + conv2 residual blocks): keeps XLA's space-to-batch conv form
-    # for a whole stage instead of paying a relayout round trip per conv
-    # (see base.py w_chunk). 0 disables. Exact numerics either way.
+    # overlapped W-tiling of the wide stride-1 stages (conv1 + conv2
+    # residual blocks): keeps XLA's space-to-batch conv form for a whole
+    # stage instead of paying a relayout round trip per conv (see base.py
+    # w_chunk). 0 disables. Exact numerics either way; chunk_train extends
+    # the tiling to the training graph (BN stats exclude halo duplicates).
     chunk_nc: int = 8
     chunk_min_w: int = 512
+    chunk_train: bool = True
 
     @property
     def backbone_channels(self):
@@ -85,21 +87,32 @@ class _PillarResNetBase(nn.Module):
             x, occ4 = grid, occ
 
         use_chunk = (
-            (not train)
+            (not train or self.chunk_train)
             and self.chunk_nc > 0
             and x.shape[2] >= self.chunk_min_w
             and x.shape[2] % self.chunk_nc == 0
         )
         if use_chunk:
+            nc = self.chunk_nc
             halo = 3 + 2 * (self.conv1_blocks - 1)  # convs in stage 1
-            x = w_chunk(x, self.chunk_nc, halo)
+            x = w_chunk(x, nc, halo)
             if use_s2d:
-                occ4 = (
-                    w_chunk(occ4[0], self.chunk_nc, halo),
-                    w_chunk(occ4[1], self.chunk_nc, halo),
-                )
+                m4, mc = occ4
+                occ4 = (w_chunk(m4, nc, halo), w_chunk(mc, nc, halo))
+                if train:
+                    stat4 = jnp.pad(
+                        w_chunk(m4, nc, 0),
+                        ((0, 0), (0, 0), (halo, halo), (0, 0)),
+                    )
+                    occ4 = occ4 + (stat4,)
             else:
-                occ4 = w_chunk(occ4, self.chunk_nc, halo)
+                occ4 = w_chunk(occ4, nc, halo)
+                if train:
+                    stat = jnp.pad(
+                        w_chunk(occ, nc, 0),
+                        ((0, 0), (0, 0), (halo, halo)),
+                    )
+                    occ4 = (occ4, stat)
 
         x = Sparse2DBasicBlockV(
             c, dtype=self.dtype, s2d=use_s2d, name="conv1_block0"

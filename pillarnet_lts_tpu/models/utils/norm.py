@@ -71,8 +71,17 @@ class MaskedBatchNorm(nn.Module):
         shift = self.bias - self.ra_mean.value * inv
         return inv, shift
 
-    def __call__(self, x, mask=None, train: bool = True):
-        """x: (..., C); mask: bool broadcastable to x.shape[:-1] or None."""
+    def __call__(self, x, mask=None, train: bool = True, stat_mask=None):
+        """x: (..., C); mask: bool broadcastable to x.shape[:-1] or None.
+
+        `stat_mask` (train only): use a different mask for the batch
+        statistics than for the re-zeroing. Used by overlapped W-tiled
+        stage execution (`backbones/base.py::w_chunk`): halo columns are
+        duplicates of neighbouring tiles' interiors, so they are excluded
+        from the statistics (stat_mask zero there) but still normalized
+        and re-zeroed like their interior twins — making tiled training
+        statistics exactly equal to plain execution.
+        """
         scale = self.scale
         bias = self.bias
         ra_mean = self.ra_mean
@@ -95,14 +104,15 @@ class MaskedBatchNorm(nn.Module):
         reduce_axes = tuple(range(x.ndim - 1))
 
         if train:
-            if mask is None:
+            smask = mask if stat_mask is None else stat_mask
+            if smask is None:
                 cnt = jnp.asarray(
                     jnp.prod(jnp.array(x.shape[:-1])), jnp.float32
                 )
                 s = xf.sum(axis=reduce_axes)
                 ss = (xf * xf).sum(axis=reduce_axes)
             else:
-                mf = mask.astype(jnp.float32)[..., None]
+                mf = smask.astype(jnp.float32)[..., None]
                 cnt = mf.sum()
                 s = (xf * mf).sum(axis=reduce_axes)
                 ss = (xf * xf * mf).sum(axis=reduce_axes)

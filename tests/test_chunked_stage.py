@@ -47,6 +47,49 @@ def test_chunked_equals_plain_fine():
     _assert_equiv(PillarResNet34S, s2d=False)
 
 
+def _run_train(cls, grid, occ, **kw):
+    model = cls(in_channels=grid.shape[-1], **kw)
+    variables = model.init(jax.random.PRNGKey(0), grid, occ, train=True)
+
+    def loss_fn(params):
+        out, updated = model.apply(
+            {**variables, "params": params}, grid, occ, train=True,
+            mutable=["batch_stats"],
+        )
+        return sum(
+            jnp.abs(v[0].astype(jnp.float32)).mean() for v in out.values()
+        ), updated["batch_stats"]
+
+    (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    return float(loss), stats, grads
+
+
+def test_chunked_training_matches_plain():
+    """Outputs, BN batch statistics, and parameter gradients must all be
+    bitwise-close between tiled and plain training execution."""
+    grid, occ = _inputs(3)
+    l0, s0, g0 = _run_train(PillarResNet18, grid, occ, chunk_nc=0)
+    l1, s1, g1 = _run_train(
+        PillarResNet18, grid, occ, chunk_nc=4, chunk_min_w=16,
+        chunk_train=True,
+    )
+    np.testing.assert_allclose(l1, l0, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3
+        ),
+        s1, s0,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-2
+        ),
+        g1, g0,
+    )
+
+
 def test_chunked_gate_requires_divisible_width():
     # W=60 is not divisible by 8: the gate must fall back to plain execution
     grid, occ = _inputs(1, h=60, w=60)
