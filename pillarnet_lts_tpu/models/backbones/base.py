@@ -168,32 +168,43 @@ def center_w(x, w):
     return x if off == 0 else x[:, :, off : cur - off]
 
 
+_NEG = -float("inf")  # additive re-zero sentinel: finite + -inf = -inf, relu(-inf) = 0
+
+
 def conv_bn_act_s2d(conv: "MaskedConv", bn: MaskedBatchNorm, x, masks,
-                    train, act=True, chunked=False):
+                    train, act=True, chunked=False, rezero="mul"):
     """s2d-space equivalent of `conv_bn_act` for a stride-1 SubM conv+BN.
 
-    x: (B, H/2, W/2, 4C_in); masks = (mask4, maskc): the (B, H/2, W/2, 4)
-    per-phase occupancy (BN statistics) and its channel-expanded
-    (B, H/2, W/2, 4C) materialization (re-zeroing). maskc is materialized
-    ONCE per stage by the caller: an in-graph `repeat` per conv defeats
-    XLA's conv-epilogue fusion (measured 3x stage cost), and the multiply
-    must precede the activation for the epilogue to stay fused.
+    x: (B, H/2, W/2, 4C_in); masks is a dict:
+      mask4 — (B, H/2, W/2, 4) per-phase occupancy (BN statistics);
+      maskc — channel-expanded (B, H/2, W/2, 4C) multiplicative re-zero
+              mask, materialized ONCE per stage (an in-graph `repeat` per
+              conv defeats XLA's conv-epilogue fusion, measured 3x cost);
+      negc  — additive re-zero mask (0 at active, -inf at inactive sites),
+              used by the eval path when `rezero='addneg'`;
+      stat4 — (chunked training) halo-zeroed statistics mask (halo columns
+              duplicate neighbouring tiles' interiors and must not be
+              double-counted; see MaskedBatchNorm.stat_mask).
     BN statistics aggregate across the 4 phase blocks of each fine channel,
     exactly the fine-space masked statistics.
 
     `chunked`: x is in `w_chunk` overlapped-tile form — the conv runs with
     no W padding (consuming one halo column per side) and the mask operands
-    are center-cropped to the shrunk width. In training, `masks` carries a
-    third element: the halo-zeroed statistics mask (halo columns duplicate
-    neighbouring tiles' interiors and must not be double-counted in BN
-    statistics; see MaskedBatchNorm.stat_mask).
+    are center-cropped to the shrunk width.
+
+    `rezero` (eval only): 'mul' multiplies by maskc; 'addneg' adds negc —
+    XLA fuses the add into the conv epilogue where it does not fuse the
+    multiply (measured: 12.4 -> 6.9 ms for the conv1 stage), leaving -inf
+    at inactive sites. With act=True the relu maps those to exact 0; with
+    act=False the caller must guarantee the output only feeds a
+    (residual-add -> relu) whose other operand is already re-zeroed.
     """
-    mask4, maskc, *rest = masks
-    stat4 = rest[0] if rest else None
+    mask4 = masks["mask4"]
     c = conv.features
     w = expand_kernel_s2d(conv.kernel)
     wpad = (0, 0) if chunked else (1, 1)
     if train:
+        stat4 = masks.get("stat4")
         b = _tile4(conv.bias) if conv.use_bias else None
         y = jax.lax.conv_general_dilated(
             x.astype(conv.dtype), w.astype(conv.dtype), (1, 1),
@@ -216,8 +227,13 @@ def conv_bn_act_s2d(conv: "MaskedConv", bn: MaskedBatchNorm, x, masks,
             (1, 1), ((1, 1), wpad),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        m = center_w(maskc, y.shape[2]) if chunked else maskc
-        y = (y + _tile4(shift).astype(y.dtype)) * m
+        y = y + _tile4(shift).astype(y.dtype)
+        if rezero == "addneg" and "negc" in masks:
+            n = masks["negc"]
+            y = y + (center_w(n, y.shape[2]) if chunked else n)
+        else:
+            m = masks["maskc"]
+            y = y * (center_w(m, y.shape[2]) if chunked else m)
     return nn.relu(y) if act else y
 
 
@@ -286,11 +302,17 @@ class MaskedConv(nn.Module):
 
 
 def conv_bn_act(conv: MaskedConv, bn: MaskedBatchNorm, x, mask, train,
-                act=True, chunked=False):
+                act=True, chunked=False, rezero="mul"):
     """conv -> masked BN -> optional ReLU, with the BN affine folded into the
     conv weights at inference. `chunked`: `w_chunk` overlapped-tile form —
     no W padding, mask center-cropped to the shrunk width; in training
-    `mask` is then a (re-zero mask, halo-zeroed stat mask) pair."""
+    `mask` is then a (re-zero mask, halo-zeroed stat mask) pair.
+
+    `rezero='addneg'` (eval): re-zero by adding -1e30 at inactive sites
+    instead of multiplying — the add fuses into the conv epilogue (see
+    conv_bn_act_s2d). With act=True the relu restores exact zeros; with
+    act=False the caller must route the output through a residual-add+relu
+    whose other operand is already zeroed."""
     if train:
         y = conv(x, pad_w=not chunked)
         if chunked:
@@ -304,7 +326,10 @@ def conv_bn_act(conv: MaskedConv, bn: MaskedBatchNorm, x, mask, train,
         y = conv.folded(x, inv, shift, pad_w=not chunked)
         if mask is not None:
             m = center_w(mask, y.shape[2]) if chunked else mask
-            y = y * m.astype(y.dtype)[..., None]
+            if rezero == "addneg":
+                y = y + jnp.where(m, 0.0, _NEG).astype(y.dtype)[..., None]
+            else:
+                y = y * m.astype(y.dtype)[..., None]
     return nn.relu(y) if act else y
 
 
@@ -332,9 +357,13 @@ class Sparse2DBasicBlock(nn.Module):
     def __call__(self, x, mask, train: bool = True, chunked: bool = False):
         run = conv_bn_act_s2d if self.s2d else conv_bn_act
         identity = x
-        out = run(self.conv1, self.bn1, x, mask, train, chunked=chunked)
+        # eval re-zero: conv1's relu restores zeros from the additive mask;
+        # conv2 (act=False) leaves -1e30 at inactive sites, which the final
+        # relu(out + identity) maps back to 0 (identity is already zeroed)
+        out = run(self.conv1, self.bn1, x, mask, train, chunked=chunked,
+                  rezero="addneg")
         out = run(self.conv2, self.bn2, out, mask, train, act=False,
-                  chunked=chunked)
+                  chunked=chunked, rezero="addneg")
         if chunked:
             identity = center_w(identity, out.shape[2])
         return nn.relu(out + identity)
@@ -363,12 +392,16 @@ class Sparse2DBasicBlockV(nn.Module):
 
     def __call__(self, x, mask, train: bool = True, chunked: bool = False):
         run = conv_bn_act_s2d if self.s2d else conv_bn_act
+        # conv0 (act=False) feeds conv1's INPUT directly, so it must produce
+        # true zeros at inactive sites -> multiplicative re-zero; the later
+        # convs use the fused additive mask (see Sparse2DBasicBlock)
         x = run(self.conv0, self.bn0, x, mask, train, act=False,
-                chunked=chunked)
+                chunked=chunked, rezero="mul")
         identity = x
-        out = run(self.conv1, self.bn1, x, mask, train, chunked=chunked)
+        out = run(self.conv1, self.bn1, x, mask, train, chunked=chunked,
+                  rezero="addneg")
         out = run(self.conv2, self.bn2, out, mask, train, act=False,
-                  chunked=chunked)
+                  chunked=chunked, rezero="addneg")
         if chunked:
             identity = center_w(identity, out.shape[2])
         return nn.relu(out + identity)

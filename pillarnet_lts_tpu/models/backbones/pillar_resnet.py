@@ -78,11 +78,7 @@ class _PillarResNetBase(nn.Module):
 
         if use_s2d:
             x = s2d_pack(grid)
-            occ4 = s2d_pack_mask(occ)
-            # channel-expanded re-zero mask, materialized once for the whole
-            # stage (per-conv repeats defeat conv-epilogue fusion)
-            occc = jnp.repeat(occ4, c, axis=-1).astype(self.dtype)
-            occ4 = (occ4, occc)
+            m4 = s2d_pack_mask(occ)
         else:
             x, occ4 = grid, occ
 
@@ -97,14 +93,19 @@ class _PillarResNetBase(nn.Module):
             halo = 3 + 2 * (self.conv1_blocks - 1)  # convs in stage 1
             x = w_chunk(x, nc, halo)
             if use_s2d:
-                m4, mc = occ4
-                occ4 = (w_chunk(m4, nc, halo), w_chunk(mc, nc, halo))
+                m4c = w_chunk(m4, nc, halo)
+                occ4 = {"mask4": m4c}
                 if train:
-                    stat4 = jnp.pad(
+                    occ4["stat4"] = jnp.pad(
                         w_chunk(m4, nc, 0),
                         ((0, 0), (0, 0), (halo, halo), (0, 0)),
                     )
-                    occ4 = occ4 + (stat4,)
+                else:
+                    occ4["maskc"] = jnp.repeat(
+                        m4c, c, axis=-1).astype(self.dtype)
+                    occ4["negc"] = jnp.repeat(
+                        jnp.where(m4c, 0.0, -jnp.inf), c, axis=-1
+                    ).astype(self.dtype)
             else:
                 occ4 = w_chunk(occ4, nc, halo)
                 if train:
@@ -113,6 +114,15 @@ class _PillarResNetBase(nn.Module):
                         ((0, 0), (0, 0), (halo, halo)),
                     )
                     occ4 = (occ4, stat)
+        elif use_s2d:
+            occ4 = {"mask4": m4}
+            if not train:
+                # channel-expanded re-zero masks, materialized once for the
+                # whole stage (per-conv repeats defeat conv-epilogue fusion)
+                occ4["maskc"] = jnp.repeat(m4, c, axis=-1).astype(self.dtype)
+                occ4["negc"] = jnp.repeat(
+                    jnp.where(m4, 0.0, -jnp.inf), c, axis=-1
+                ).astype(self.dtype)
 
         x = Sparse2DBasicBlockV(
             c, dtype=self.dtype, s2d=use_s2d, name="conv1_block0"

@@ -20,9 +20,11 @@ def _inputs(seed, h=64, w=64, c=32):
 def _run(cls, grid, occ, **kw):
     model = cls(in_channels=grid.shape[-1], **kw)
     variables = model.init(jax.random.PRNGKey(0), grid, occ, train=False)
-    # non-default running stats so BN folding is not a no-op
+    # non-default running variances so BN folding is not a no-op; relative
+    # perturbation (an additive DC on conv kernels compounds to overflow
+    # through 20+ convs and makes the comparison meaningless)
     variables = jax.tree.map(
-        lambda a: a + 0.05 if a.dtype == jnp.float32 else a, variables
+        lambda a: a * 1.05 if a.dtype == jnp.float32 else a, variables
     )
     out = model.apply(variables, grid, occ, train=False)
     return {k: np.asarray(v[0]) for k, v in out.items()}
