@@ -324,12 +324,22 @@ def conv_bn_act(conv: MaskedConv, bn: MaskedBatchNorm, x, mask, train,
     else:
         inv, shift = bn.fold_factors()
         y = conv.folded(x, inv, shift, pad_w=not chunked)
+        negc = None
+        if isinstance(mask, dict):
+            negc = mask.get("negc")
+            mask = mask["m"]
         if mask is not None:
-            m = center_w(mask, y.shape[2]) if chunked else mask
-            if rezero == "addneg":
-                y = y + jnp.where(m, 0.0, _NEG).astype(y.dtype)[..., None]
+            if rezero == "addneg" and negc is not None:
+                # stage-materialized channel-expanded additive mask fuses
+                # best (D3 in the probe log: 12.3 mul / 11.3 broadcast-add /
+                # 10.7 materialized-add for the conv2 stage)
+                y = y + center_w(negc, y.shape[2])
             else:
-                y = y * m.astype(y.dtype)[..., None]
+                m = center_w(mask, y.shape[2]) if chunked else mask
+                if rezero == "addneg":
+                    y = y + jnp.where(m, 0.0, _NEG).astype(y.dtype)[..., None]
+                else:
+                    y = y * m.astype(y.dtype)[..., None]
     return nn.relu(y) if act else y
 
 
@@ -489,6 +499,16 @@ class SparseDownStage(nn.Module):
                     ((0, 0), (0, 0), (halo, halo)),
                 )
                 mc = (mc, stat)
+            else:
+                # stage-materialized channel-expanded additive re-zero mask
+                # (see conv_bn_act rezero='addneg')
+                mc = {
+                    "m": mc,
+                    "negc": jnp.repeat(
+                        jnp.where(mc, 0.0, _NEG)[..., None],
+                        self.channels, axis=-1,
+                    ).astype(self.dtype),
+                }
             for blk in self.blocks:
                 yc = blk(yc, mc, train, chunked=True)
             y = w_unchunk(yc, self.chunk_nc)
