@@ -315,42 +315,48 @@ def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows):
     tile_pillars = tile_rows * width
     num_tiles = -(-height // tile_rows)
     padded_pillars = num_tiles * tile_pillars
-    c_pad = max(128, -(-(C + 2) // 128) * 128)
+    c_pad = max(128, -(-(C + 3) // 128) * 128)
     # bf16 inputs round-trip exactly through the fp32 working layout, so a
     # bf16 grid (and bf16 one-hot matmul) is exact; fp32 inputs keep fp32
     acc_dtype = out_dtype if out_dtype == jnp.bfloat16 else jnp.float32
 
     def one(feats, ids, ok):
-        ids = jnp.where(ok, ids, hw).astype(jnp.int32)
-        order = jnp.argsort(ids)
-        sorted_ids = ids[order]
-        ok_s = ok[order]
-        feats_s = feats[order].astype(jnp.float32) * ok_s[:, None]
-        # fp32 working layout: [feats | occ | id | zero padding]; the id
-        # column (exact below 2^24) lets the kernel run the per-chunk
-        # dedup scan without a second, transposed id stream
-        aug = jnp.concatenate(
+        key = jnp.where(ok, ids, hw).astype(jnp.int32)
+        # fp32 working layout: [feats | occ | id | sort key | zero padding];
+        # the id column (exact below 2^24) lets the kernel run the per-chunk
+        # dedup scan without a second, transposed id stream; the sort-key
+        # column (invalid -> hw, sorted last) reconstructs the sorted id
+        # stream for searchsorted and the one-hot table. Building the full
+        # row FIRST and gathering ONCE matters: XLA's TPU gather cost is
+        # per-index, so three separate gathers by `order` (ids, ok, feats)
+        # cost ~3x one 128-wide row gather.
+        row = jnp.concatenate(
             [
-                feats_s,
-                ok_s[:, None].astype(jnp.float32),
-                jnp.where(ok_s, sorted_ids, -2).astype(jnp.float32)[:, None],
-                jnp.zeros((N, c_pad - C - 2), jnp.float32),
+                feats.astype(jnp.float32) * ok[:, None],
+                ok[:, None].astype(jnp.float32),
+                jnp.where(ok, key, -2).astype(jnp.float32)[:, None],
+                key.astype(jnp.float32)[:, None],
+                jnp.zeros((N, c_pad - C - 3), jnp.float32),
             ],
             axis=-1,
         )
+        order = jnp.argsort(key)
+        aug = jnp.take_along_axis(row, order[:, None], axis=0)
 
         # pad so chunk DMAs never run off the end, the id table reshapes into
         # whole chunks, and its row count is 8-aligned (group DMAs)
         pad_n = (
             -(-(N + _MXU_CHUNK) // (8 * _MXU_CHUNK)) * 8 * _MXU_CHUNK - N
         )
-        sorted_ids = jnp.concatenate(
-            [sorted_ids, jnp.full((pad_n,), hw, jnp.int32)]
+        # pad rows must not share a scan-id-column value with any real
+        # pillar (the in-kernel dedup scan merges equal-id neighbors)
+        pad_row = (
+            jnp.zeros((pad_n, c_pad), jnp.float32)
+            .at[:, C + 1].set(-2.0)
+            .at[:, C + 2].set(float(hw))
         )
-        # pad rows must not share an id-column value with any real pillar
-        # (the in-kernel dedup scan merges equal-id neighbors)
-        pad_row = jnp.zeros((pad_n, c_pad), jnp.float32).at[:, C + 1].set(-2.0)
         aug = jnp.concatenate([aug, pad_row])
+        sorted_ids = aug[:, C + 2].astype(jnp.int32)
         ids_2d = sorted_ids.reshape(-1, _MXU_CHUNK)
 
         tile_bounds = (
