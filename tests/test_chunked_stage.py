@@ -68,14 +68,20 @@ def _run_train(cls, grid, occ, **kw):
     return float(loss), stats, grads
 
 
-def test_chunked_training_matches_plain():
+import pytest
+
+
+@pytest.mark.parametrize("s2d", [True, False])
+def test_chunked_training_matches_plain(s2d):
     """Outputs, BN batch statistics, and parameter gradients must all be
-    bitwise-close between tiled and plain training execution."""
+    bitwise-close between tiled and plain training execution (both the
+    space-to-depth and fine conv1 paths)."""
     grid, occ = _inputs(3)
-    l0, s0, g0 = _run_train(PillarResNet18, grid, occ, chunk_nc=0)
+    l0, s0, g0 = _run_train(PillarResNet18, grid, occ, s2d_stage1=s2d,
+                            chunk_nc=0)
     l1, s1, g1 = _run_train(
-        PillarResNet18, grid, occ, chunk_nc=4, chunk_min_w=16,
-        chunk_train=True,
+        PillarResNet18, grid, occ, s2d_stage1=s2d, chunk_nc=4,
+        chunk_min_w=16, chunk_train=True,
     )
     np.testing.assert_allclose(l1, l0, rtol=1e-5)
     jax.tree.map(
