@@ -103,10 +103,12 @@ def _measure(config_path, n_frames=24):
         mid = ts[len(ts) // 3 : 2 * len(ts) // 3]
         return float(np.mean(mid))
 
-    # pipelined throughput: 4 frames in flight, sync once at the end
+    # pipelined throughput: 4 frames in flight (deeper queues measure the
+    # same — the relay saturates at depth 4); 32 frames so steady state
+    # dominates the ramp
     for p, m in real_clouds:  # warm
         fn(variables, p, m)
-    n_pipe = 16
+    n_pipe = 32
     t0 = time.perf_counter()
     outs = []
     for i in range(n_pipe):
