@@ -168,6 +168,16 @@ def center_w(x, w):
     return x if off == 0 else x[:, :, off : cur - off]
 
 
+def chunk_gate(train, chunk_nc, chunk_train, w, min_w):
+    """Single source of truth for when a stage runs in w_chunk tiled form."""
+    return (
+        (not train or chunk_train)
+        and chunk_nc > 0
+        and w >= min_w
+        and w % chunk_nc == 0
+    )
+
+
 _NEG = -float("inf")  # additive re-zero sentinel: finite + -inf = -inf, relu(-inf) = 0
 
 
@@ -308,7 +318,7 @@ def conv_bn_act(conv: MaskedConv, bn: MaskedBatchNorm, x, mask, train,
     no W padding, mask center-cropped to the shrunk width; in training
     `mask` is then a (re-zero mask, halo-zeroed stat mask) pair.
 
-    `rezero='addneg'` (eval): re-zero by adding -1e30 at inactive sites
+    `rezero='addneg'` (eval): re-zero by adding -inf at inactive sites
     instead of multiplying — the add fuses into the conv epilogue (see
     conv_bn_act_s2d). With act=True the relu restores exact zeros; with
     act=False the caller must route the output through a residual-add+relu
@@ -368,7 +378,7 @@ class Sparse2DBasicBlock(nn.Module):
         run = conv_bn_act_s2d if self.s2d else conv_bn_act
         identity = x
         # eval re-zero: conv1's relu restores zeros from the additive mask;
-        # conv2 (act=False) leaves -1e30 at inactive sites, which the final
+        # conv2 (act=False) leaves -inf at inactive sites, which the final
         # relu(out + identity) maps back to 0 (identity is already zeroed)
         out = run(self.conv1, self.bn1, x, mask, train, chunked=chunked,
                   rezero="addneg")
@@ -483,12 +493,8 @@ class SparseDownStage(nn.Module):
             y = nn.relu(y)
         else:
             y = conv_bn_act(self.down_conv, self.down_bn, x, new_mask, train)
-        use_chunk = (
-            (not train or self.chunk_train)
-            and self.chunk_nc > 0
-            and y.shape[2] >= self.chunk_min_w
-            and y.shape[2] % self.chunk_nc == 0
-        )
+        use_chunk = chunk_gate(train, self.chunk_nc, self.chunk_train,
+                               y.shape[2], self.chunk_min_w)
         if use_chunk:
             halo = 2 * self.num_blocks
             yc = w_chunk(y, self.chunk_nc, halo)

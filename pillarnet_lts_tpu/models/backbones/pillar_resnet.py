@@ -20,6 +20,7 @@ from flax import linen as nn
 from ..registry import BACKBONES
 from .base import (
     DenseConvBNReLU,
+    chunk_gate,
     Sparse2DBasicBlock,
     Sparse2DBasicBlockV,
     SparseDownStage,
@@ -82,12 +83,8 @@ class _PillarResNetBase(nn.Module):
         else:
             x, occ4 = grid, occ
 
-        use_chunk = (
-            (not train or self.chunk_train)
-            and self.chunk_nc > 0
-            and x.shape[2] >= self.chunk_min_w
-            and x.shape[2] % self.chunk_nc == 0
-        )
+        use_chunk = chunk_gate(train, self.chunk_nc, self.chunk_train,
+                               x.shape[2], self.chunk_min_w)
         if use_chunk:
             nc = self.chunk_nc
             halo = 3 + 2 * (self.conv1_blocks - 1)  # convs in stage 1
@@ -141,17 +138,18 @@ class _PillarResNetBase(nn.Module):
         x2, m2 = SparseDownStage(
             c * 2, self.stage_blocks[0], in_channels=c, dtype=self.dtype,
             s2d_in=use_s2d, chunk_nc=self.chunk_nc,
-            chunk_min_w=self.chunk_min_w, name="conv2",
+            chunk_min_w=self.chunk_min_w, chunk_train=self.chunk_train,
+            name="conv2",
         )(x, m1, train)
         x3, m3 = SparseDownStage(
             c * 4, self.stage_blocks[1], in_channels=c * 2, dtype=self.dtype,
             chunk_nc=self.chunk_nc, chunk_min_w=self.chunk_min_w,
-            name="conv3",
+            chunk_train=self.chunk_train, name="conv3",
         )(x2, m2, train)
         x4, m4 = SparseDownStage(
             c * 8, self.stage_blocks[2], in_channels=c * 4, dtype=self.dtype,
             chunk_nc=self.chunk_nc, chunk_min_w=self.chunk_min_w,
-            name="conv4",
+            chunk_train=self.chunk_train, name="conv4",
         )(x3, m3, train)
 
         out = {

@@ -22,6 +22,8 @@ heading mapped to ``-yaw - pi/2`` — before overlap math, so results are
 comparable bit-for-bit in convention.
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -336,19 +338,26 @@ def _overlap_use_pallas():
         return False
 
 
-@jax.jit
 def rotated_overlap_bev(boxes_a, boxes_b):
     """Pairwise rotated BEV overlap area (N, M); pcdet BEV (.., 5) inputs.
 
-    Equivalent of `boxes_overlap_kernel` (`iou3d_nms_kernel.cu`). Computed in
-    row chunks via `lax.map` to bound peak memory.
+    Equivalent of `boxes_overlap_kernel` (`iou3d_nms_kernel.cu`). The
+    backend global is resolved HERE, outside the jit, so
+    `set_overlap_backend` takes effect on the next call instead of being
+    baked into a shape-keyed trace cache.
     """
+    return _rotated_overlap_bev_jit(boxes_a, boxes_b,
+                                    use_pallas=_overlap_use_pallas())
+
+
+@partial(jax.jit, static_argnames=("use_pallas",))
+def _rotated_overlap_bev_jit(boxes_a, boxes_b, use_pallas):
     ca = box_corners_bev(boxes_a)  # (N, 4, 2)
     cb = box_corners_bev(boxes_b)  # (M, 4, 2)
     n = ca.shape[0]
     m = cb.shape[0]
 
-    if _overlap_use_pallas() and n >= 8 and m >= 128:
+    if use_pallas and n >= 8 and m >= 128:
         from .pallas.iou_kernel import convex_intersection_area_pallas
 
         return convex_intersection_area_pallas(ca, cb)
@@ -372,9 +381,11 @@ def rotated_overlap_bev(boxes_a, boxes_b):
     return jnp.concatenate(outs, axis=0)[:n]
 
 
-@jax.jit
 def rotated_iou_bev(boxes_a, boxes_b):
-    """Pairwise rotated BEV IoU (N, M); pcdet BEV inputs (`iou_bev`)."""
+    """Pairwise rotated BEV IoU (N, M); pcdet BEV inputs (`iou_bev`).
+
+    Not jitted itself (callers are; a jit here would re-bake the overlap
+    backend choice into this function's own trace cache)."""
     overlap = rotated_overlap_bev(boxes_a, boxes_b)
     sa = (boxes_a[:, 2] * boxes_a[:, 3])[:, None]
     sb = (boxes_b[:, 2] * boxes_b[:, 3])[None, :]
@@ -394,11 +405,11 @@ def _height_overlap(za, ha, zb, hb):
     return jnp.maximum(top - bot, 0.0)
 
 
-@jax.jit
 def boxes_iou3d(boxes_a, boxes_b):
     """Pairwise 3D IoU (N, M); det3d 7-dim boxes (x,y,z,w,l,h,yaw).
 
-    Mirrors `boxes_iou3d_gpu` (`iou3d_nms_utils.py:37-76`).
+    Mirrors `boxes_iou3d_gpu` (`iou3d_nms_utils.py:37-76`). Not jitted
+    itself (see rotated_iou_bev).
     """
     bev_a = to_pcdet_bev(boxes_a)
     bev_b = to_pcdet_bev(boxes_b)

@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..iou3d import _ENLARGE, _scale_quad
+
 _EPS = 1e-8
 _BIG = 1e9
 
@@ -100,15 +102,12 @@ def _one_sided(a_flat, bt_flat):
     )(a_flat, bt_flat)
 
 
-_ENLARGE = 1e-5  # must match ops/iou3d.py
-
-
 def convex_intersection_area_pallas(a_quad, b_quad):
     """Exact pairwise intersection areas of convex CCW quads.
 
     a_quad: (..., Ka, 4, 2); b_quad: (..., Kb, 4, 2) -> (..., Ka, Kb).
     Matches `ops.iou3d._convex_intersection_area` applied to the broadcasted
-    pair grid (including the B-side 1+1e-5 boundary regularization).
+    pair grid (same `_ENLARGE` boundary regularization on the B side).
     """
     a_quad = a_quad.astype(jnp.float32)
     b_quad = b_quad.astype(jnp.float32)
@@ -119,8 +118,7 @@ def convex_intersection_area_pallas(a_quad, b_quad):
     for d in batch:
         t *= d
 
-    center = b_quad.mean(axis=-2, keepdims=True)
-    b_plus = center + (b_quad - center) * (1.0 + _ENLARGE)
+    b_plus = _scale_quad(b_quad, 1.0 + _ENLARGE)
 
     a = a_quad.reshape(t, ka, 8)
     bp = b_plus.reshape(t, kb, 8)

@@ -71,7 +71,6 @@ def points_in_boxes_index(points, boxes):
     kernel `roiaware_pool3d_kernel.cu:334-354` — first match wins).
     """
     _, _, _, inside = _canonical_coords(points[:, :3], _to_pcdet(boxes))
-    n = boxes.shape[0]
     first = jnp.argmax(inside, axis=1)
     return jnp.where(inside.any(axis=1), first, -1).astype(jnp.int32)
 
@@ -79,6 +78,12 @@ def points_in_boxes_index(points, boxes):
 def points_in_boxes_batch(points, boxes):
     """Batched `points_in_boxes_index`: (B, M, 3), (B, T, 7) -> (B, M)."""
     return jax.vmap(points_in_boxes_index)(points, boxes)
+
+
+# RoIs are processed in chunks of this size so the broadcast (P, chunk, C)
+# feature table stays bounded (~64 MB at P=262k, C=16 fp32) instead of
+# O(P * N * C) for the full RoI set
+_ROI_CHUNK = 32
 
 
 @partial(jax.jit, static_argnames=("out_size", "pool"))
@@ -97,6 +102,26 @@ def roiaware_pool3d(rois, points, point_feats, out_size, pool="max"):
     else:
         ox, oy, oz = out_size
 
+    n = rois.shape[0]
+    if n <= _ROI_CHUNK:
+        return _roiaware_pool3d_chunk(
+            rois, points, point_feats, (ox, oy, oz), pool
+        )
+    pad = (-n) % _ROI_CHUNK
+    rois_p = jnp.pad(rois, ((0, pad), (0, 0)))
+    # degenerate zero-size pad boxes contain no points -> all-zero blocks
+    chunks = rois_p.reshape(-1, _ROI_CHUNK, rois.shape[-1])
+    pooled = jax.lax.map(
+        lambda r: _roiaware_pool3d_chunk(
+            r, points, point_feats, (ox, oy, oz), pool
+        ),
+        chunks,
+    )
+    return pooled.reshape(-1, ox, oy, oz, point_feats.shape[-1])[:n]
+
+
+def _roiaware_pool3d_chunk(rois, points, point_feats, out_size, pool):
+    ox, oy, oz = out_size
     boxes = _to_pcdet(rois)
     lx, ly, lz, inside = _canonical_coords(points[:, :3], boxes)
 
@@ -108,7 +133,8 @@ def roiaware_pool3d(rois, points, point_feats, out_size, pool="max"):
     # voxel index: floor((local + d/2) / (d / out)), clamped
     # (`roiaware_pool3d_kernel.cu:75-86`)
     def vidx(local, d, out):
-        i = jnp.floor((local + d[None, :] * 0.5) * out / d[None, :])
+        safe = jnp.where(d > 0, d, 1.0)
+        i = jnp.floor((local + d[None, :] * 0.5) * out / safe[None, :])
         return jnp.clip(i, 0, out - 1).astype(jnp.int32)
 
     xi = vidx(lx, dims[:, 0], ox)

@@ -48,9 +48,13 @@ def _data(seed, p=400, n=5):
     return points, rois, feats
 
 
-def test_pool_max_and_avg_match_oracle():
+import pytest
+
+
+@pytest.mark.parametrize("n", [5, 40])  # 40 exercises the RoI-chunked path
+def test_pool_max_and_avg_match_oracle(n):
     out = (4, 4, 2)
-    points, rois, feats = _data(0)
+    points, rois, feats = _data(0, n=n)
     vox_of = _oracle_assign(points, rois, out)
 
     got_max = np.asarray(
