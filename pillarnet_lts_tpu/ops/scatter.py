@@ -8,7 +8,10 @@ segment max (reference equivalent: `scatter_max`,
 Backend selection: 'auto' uses the MXU one-hot-matmul kernel on TPU
 backends (fastest measured: 18 ms vs 23 ms loop kernel vs 33 ms XLA for
 262k points -> 1440^2 x 32) and the XLA scatter on CPU/interpret; override
-with `pillarnet_lts_tpu.ops.scatter.set_backend('xla'|'pallas'|'mxu')`.
+with `pillarnet_lts_tpu.ops.scatter.set_backend('xla'|'pallas'|'mxu'|'sort')`.
+'sort' is the scatter-free sort+segmented-scan+binary-search formulation
+(`scatter_max_to_grid_sorted`) — useful on backends where XLA scatter is
+slow but a Pallas kernel is unavailable.
 """
 
 import jax

@@ -126,6 +126,10 @@ def scatter_max_to_grid_sorted(point_feats, flat_ids, valid, height, width):
     def one(feats, ids, ok):
         n, c = feats.shape
         neg = jnp.finfo(feats.dtype).min
+        # Invalid points must not mark their pillar occupied: force their ids
+        # to the H*W sentinel so they sort past every query (same contract as
+        # scatter_max_to_grid, which derives occupancy from `ok` directly).
+        ids = jnp.where(ok, ids, hw)
         order = jnp.argsort(ids)
         ids_s = ids[order]
         feats_s = jnp.where(ok[order][:, None], feats[order], neg)

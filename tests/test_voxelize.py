@@ -107,3 +107,28 @@ def test_scatter_max_sorted_all_and_none_valid():
         np.testing.assert_allclose(
             np.asarray(a[0]), np.asarray(b[0]), atol=1e-6
         )
+
+def test_scatter_max_sorted_invalid_points_with_inrange_ids():
+    """Regression (ADVICE r2): invalid points carrying in-range ids must not
+    mark their pillar occupied or leak finfo.min into the grid."""
+    from pillarnet_lts_tpu.ops.voxelize import scatter_max_to_grid_sorted
+
+    B, N, C, H, W = 1, 8, 3, 4, 4
+    feats = np.full((B, N, C), 5.0, np.float32)
+    ids = np.full((B, N), 3, np.int32)  # in-range id, but every point invalid
+    valid = np.zeros((B, N), bool)
+    grid, occ = scatter_max_to_grid_sorted(
+        jnp.array(feats), jnp.array(ids), jnp.array(valid), H, W
+    )
+    assert not np.asarray(occ).any()
+    np.testing.assert_array_equal(np.asarray(grid), 0.0)
+
+    # mixed: one valid point at id 3, invalid points at id 5
+    valid[0, 0] = True
+    ids[0, 1:] = 5
+    grid, occ = scatter_max_to_grid_sorted(
+        jnp.array(feats), jnp.array(ids), jnp.array(valid), H, W
+    )
+    occ = np.asarray(occ).reshape(-1)
+    assert occ[3] and not occ[5]
+    np.testing.assert_allclose(np.asarray(grid).reshape(-1, C)[3], 5.0)
