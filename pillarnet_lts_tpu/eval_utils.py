@@ -3,6 +3,32 @@
 import numpy as np
 
 
+def make_infer_fn(model, test_cfg=None):
+    """Jitted forward + decode for evaluation.
+
+    Single shared factory for `Trainer.val` and `tools/dist_test.py`
+    (reference: the eval forward in `torchie/apis/train.py:93` used by both
+    `trainer.py:438-494` and `tools/dist_test.py:164-180`). Callers should
+    build this ONCE per model and reuse it — jax.jit caches retraces by
+    shape, so a cached fn makes repeated val epochs in a
+    [('train',k),('val',1)] workflow compile-free after the first.
+    """
+    import jax
+
+    if test_cfg is None:
+        test_cfg = model.processed_test_cfg()
+
+    @jax.jit
+    def infer(params, batch_stats, points, points_mask):
+        preds = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            points, points_mask, train=False,
+        )
+        return model.predict({}, preds, test_cfg)
+
+    return infer
+
+
 def detections_to_host(det, metadata):
     """Split a batched padded detection dict into per-sample dicts.
 

@@ -72,6 +72,20 @@ def _greedy_suppress(iou, valid, thresh, sweeps=_NMS_SWEEPS):
     return keep
 
 
+def greedy_suppress_with_convergence(iou, valid, thresh, sweeps=_NMS_SWEEPS):
+    """`_greedy_suppress` plus a convergence flag: one extra sweep from the
+    returned keep set must be a no-op for the result to be the exact greedy
+    fixpoint. Costs one additional matvec — use in tests/audits to verify a
+    workload's suppression-chain depth fits within `sweeps`; the production
+    fallback for deeper chains is raising `test_cfg.nms.nms_sweeps`."""
+    k = iou.shape[0]
+    idx = jnp.arange(k)
+    m = ((idx[:, None] < idx[None, :]) & (iou > thresh)).astype(jnp.float32)
+    keep = _greedy_suppress(iou, valid, thresh, sweeps)
+    again = valid & jnp.logical_not((keep.astype(jnp.float32) @ m) > 0.0)
+    return keep, jnp.all(again == keep)
+
+
 def _select_topk_sorted(keep, post_max_size):
     """First `post_max_size` kept slots (in existing order) -> (idx, mask)."""
     k = keep.shape[0]

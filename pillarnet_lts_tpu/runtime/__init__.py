@@ -7,6 +7,7 @@ from .hooks import (
     IterTimerHook,
 )
 from .checkpoint import save_checkpoint, load_checkpoint, latest_checkpoint
+from .precise_bn import recompute_batch_stats
 from .trainer import Trainer
 
 __all__ = [

@@ -61,6 +61,7 @@ class Trainer:
         self.log_buffer = LogBuffer()
         self._hooks = []
         self._train_step = None
+        self._infer_fn = None
 
     # ---- hooks ---------------------------------------------------------------
     def register_hook(self, hook):
@@ -144,7 +145,7 @@ class Trainer:
         """Validation loop (`trainer.py:438-494`): run mesh-sharded inference
         over the val loader, gather per-sample detections across hosts
         (`trainer/utils.py:114` all_gather), call dataset.evaluation."""
-        from ..eval_utils import detections_to_host
+        from ..eval_utils import detections_to_host, make_infer_fn
         from ..parallel.dist import (
             all_gather_objects,
             merge_detection_dicts,
@@ -154,14 +155,13 @@ class Trainer:
 
         model = self.model
         test_cfg = model.processed_test_cfg()
-
-        @jax.jit
-        def infer(params, batch_stats, points, points_mask):
-            preds = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                points, points_mask, train=False,
-            )
-            return model.predict({}, preds, test_cfg)
+        # Cached on the trainer (like _train_step) so each val epoch in a
+        # [('train',k),('val',1)] workflow reuses the compiled graph instead
+        # of re-tracing — on backends without a compile cache that re-trace
+        # costs minutes per cycle.
+        if self._infer_fn is None:
+            self._infer_fn = make_infer_fn(model, test_cfg)
+        infer = self._infer_fn
 
         detections = {}
         for i, batch in enumerate(data_loader):

@@ -84,15 +84,9 @@ def main():
     state = replicate(state, mesh)
     logger.info("loaded checkpoint (epoch %s)", (meta or {}).get("epoch"))
 
-    test_cfg = model.processed_test_cfg()
+    from pillarnet_lts_tpu.eval_utils import make_infer_fn
 
-    @jax.jit
-    def infer(params, batch_stats, points, points_mask):
-        preds = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            points, points_mask, train=False,
-        )
-        return model.predict({}, preds, test_cfg)
+    infer = make_infer_fn(model)
 
     # double-flip TTA: the loader carries 4 flipped variants per frame
     # (identical metadata x4); predict averages them back to one row
