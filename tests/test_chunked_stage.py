@@ -1,6 +1,7 @@
 """Overlapped W-tiling (inference) must reproduce the plain eval forward."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -41,10 +42,12 @@ def _assert_equiv(cls, s2d):
         )
 
 
+@pytest.mark.slow
 def test_chunked_equals_plain_s2d():
     _assert_equiv(PillarResNet18, s2d=True)
 
 
+@pytest.mark.slow
 def test_chunked_equals_plain_fine():
     _assert_equiv(PillarResNet34S, s2d=False)
 
@@ -68,10 +71,9 @@ def _run_train(cls, grid, occ, **kw):
     return float(loss), stats, grads
 
 
-import pytest
-
 
 @pytest.mark.parametrize("s2d", [True, False])
+@pytest.mark.slow
 def test_chunked_training_matches_plain(s2d):
     """Outputs, BN batch statistics, and parameter gradients must all be
     bitwise-close between tiled and plain training execution (both the
@@ -98,6 +100,7 @@ def test_chunked_training_matches_plain(s2d):
     )
 
 
+@pytest.mark.slow
 def test_chunked_gate_requires_divisible_width():
     # W=60 is not divisible by 8: the gate must fall back to plain execution
     grid, occ = _inputs(1, h=60, w=60)

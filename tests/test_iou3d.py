@@ -119,6 +119,7 @@ def test_iou3d_det3d_convention_height():
     np.testing.assert_allclose(np.asarray(iou_same), [[1.0]], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_green_clipping_matches_sorted_formulation():
     """The Green's-theorem clipping (round-2 fast path) and the candidate-
     vertex angular-sort formulation (round-1) are independent derivations of

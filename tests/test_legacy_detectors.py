@@ -78,6 +78,7 @@ def _legacy_cfg(num_point):
 
 
 @pytest.mark.parametrize("num_point", [1, 5])
+@pytest.mark.slow
 def test_two_stage_detector_train_and_eval(num_point):
     model = build_detector(
         _legacy_cfg(num_point), train_cfg=TRAIN_CFG, test_cfg=TEST_CFG

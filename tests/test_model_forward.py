@@ -134,6 +134,7 @@ def test_forward_jit_and_batchnorm_mutation(model_and_params):
     )
 
 
+@pytest.mark.slow
 def test_loss_and_grads(model_and_params):
     model, variables = model_and_params
     pts, mask = _make_inputs()

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pillarnet_lts_tpu.ops import nms as nms_ops
@@ -108,6 +109,7 @@ def test_fixpoint_equals_sequential_greedy():
             np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_fixpoint_adversarial_chain_at_production_size():
     """Worst-case suppression chains at production pre_max (1000 candidates,
     nuScenes `nms_pre_max_size`): an overlapping chain of boxes where greedy
@@ -158,6 +160,7 @@ def test_nms_sweeps_configurable_via_test_cfg():
     assert np.asarray(sel_mask).sum() == 4
 
 
+@pytest.mark.slow
 def test_fixpoint_convergence_flag_at_adversarial_density():
     """Convergence assertion (judge item r2-#7): at adversarial clustered
     candidate density (1.8k candidates in tight clusters — the densest

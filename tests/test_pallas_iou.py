@@ -1,6 +1,7 @@
 """Pallas pairwise-overlap kernel vs the jnp Green-clip path (interpret)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -24,6 +25,7 @@ def _boxes(n, seed):
     return jnp.asarray(b)
 
 
+@pytest.mark.slow
 def test_pallas_overlap_matches_jnp():
     a = _boxes(24, 0)
     b = _boxes(136, 1)
@@ -37,6 +39,7 @@ def test_pallas_overlap_matches_jnp():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_overlap_identical_and_touching():
     # identical boxes, shared-edge boxes: the boundary-collinear cases the
     # enlargement regularizes
@@ -58,6 +61,7 @@ def test_pallas_overlap_identical_and_touching():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_overlap_under_vmap():
     # the grouped multi-task NMS vmaps the pairwise overlap over tasks
     tasks_a = jnp.stack([box_corners_bev(_boxes(16, s)) for s in (2, 3)])

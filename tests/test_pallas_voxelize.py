@@ -39,6 +39,7 @@ def test_pallas_scatter_matches_xla(seed):
     )
 
 
+@pytest.mark.slow
 def test_pallas_scatter_gradient_matches_xla():
     rng = np.random.RandomState(5)
     B, N, C = 1, 300, 8

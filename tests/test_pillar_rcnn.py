@@ -177,6 +177,7 @@ def model_and_vars():
     return model, variables
 
 
+@pytest.mark.slow
 def test_two_stage_train_forward_and_loss(model_and_vars):
     model, variables = model_and_vars
     pts, mask, gt = _inputs()
@@ -204,6 +205,7 @@ def test_two_stage_train_forward_and_loss(model_and_vars):
     assert total_grad > 0
 
 
+@pytest.mark.slow
 def test_two_stage_eval_predict(model_and_vars):
     model, variables = model_and_vars
     pts, mask, gt = _inputs(seed=5)
@@ -258,6 +260,7 @@ def test_proposal_target_layer_quotas():
     assert cls.min() >= 0.0 and cls.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_roi_ffn_head_iou_branch_loss():
     """RoIFFNHead's 3-output (cls, reg, iou) path: the IoU-branch L1 loss
     (`roi_head_template.py:117-147`) must be wired into the combined loss."""

@@ -5,6 +5,7 @@ bootstrap): a trained PillarNet checkpoint initializes PillarRCNN's
 `single_det` subtree bitwise, and a non-strict top-level restore survives
 missing/unexpected keys."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -42,6 +43,7 @@ def _init_single_stage():
     return model, variables, pts, mask
 
 
+@pytest.mark.slow
 def test_pillarnet_checkpoint_bootstraps_pillarrcnn_stage1(tmp_path):
     _, sd_vars, pts, mask = _init_single_stage()
     state = TrainState.create(sd_vars, optax.adam(1e-3))

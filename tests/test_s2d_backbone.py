@@ -4,6 +4,7 @@ layout (same parameter tree, same outputs, same BN statistics)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pillarnet_lts_tpu.models.backbones.base import (
     expand_kernel_s2d,
@@ -50,6 +51,7 @@ def test_expand_kernel_matches_fine_conv():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_backbone_s2d_equivalent_eval_and_train():
     grid, occ = _inputs()
     fine_bb = PillarResNet18(s2d_stage1=False)

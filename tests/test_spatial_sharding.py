@@ -64,6 +64,7 @@ def test_sharded_subm_conv_matches_masked_dense(mesh):
     np.testing.assert_allclose(got[~mask], 0.0)
 
 
+@pytest.mark.slow
 def test_spatial_axis_end_to_end_equals_unsharded():
     """model.spatial_axis pins the BEV grid H-sharded (GSPMD); the sharded
     forward over an 8-device mesh must equal the unsharded forward on the

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -66,6 +67,7 @@ def test_scatter_max_matches_numpy():
         np.testing.assert_array_equal(occ[b], want_occ)
         np.testing.assert_allclose(grid[b], want, atol=1e-6)
 
+@pytest.mark.slow
 def test_scatter_max_sorted_matches_xla():
     from pillarnet_lts_tpu.ops.voxelize import scatter_max_to_grid_sorted
 
