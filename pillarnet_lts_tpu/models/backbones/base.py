@@ -388,6 +388,13 @@ class Sparse2DBasicBlock(nn.Module):
             identity = center_w(identity, out.shape[2])
         return nn.relu(out + identity)
 
+    def compact(self, rows, nbr, valid, train: bool = True):
+        """Gather-based execution over compact active-site rows (same
+        parameters/statistics — see `compact_exec.py`)."""
+        from .compact_exec import basic_block_compact
+
+        return basic_block_compact(self, rows, nbr, valid, train)
+
 
 class Sparse2DBasicBlockV(nn.Module):
     """Entry block: extra SubM conv + BN before the residual pair
@@ -425,6 +432,12 @@ class Sparse2DBasicBlockV(nn.Module):
         if chunked:
             identity = center_w(identity, out.shape[2])
         return nn.relu(out + identity)
+
+    def compact(self, rows, nbr, valid, train: bool = True):
+        """Gather-based execution over compact active-site rows."""
+        from .compact_exec import basic_block_v_compact
+
+        return basic_block_v_compact(self, rows, nbr, valid, train)
 
 
 class SparseDownStage(nn.Module):
@@ -522,6 +535,16 @@ class SparseDownStage(nn.Module):
             for blk in self.blocks:
                 y = blk(y, new_mask, train)
         return y, new_mask
+
+    def compact(self, rows_fine, nbr_down, nbr_coarse, valid_coarse,
+                train: bool = True):
+        """Gather-based execution: strided conv from the fine row table,
+        residual blocks at the coarse level (see `compact_exec.py`)."""
+        from .compact_exec import down_stage_compact
+
+        return down_stage_compact(
+            self, rows_fine, nbr_down, nbr_coarse, valid_coarse, train
+        )
 
 
 class DenseConvBNReLU(nn.Module):

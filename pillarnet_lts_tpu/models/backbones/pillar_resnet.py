@@ -17,6 +17,12 @@ from typing import Any, Dict, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.compact import (
+    compact_to_dense,
+    down_conv_neighbor_table,
+    downsample_site_ids,
+    subm_neighbor_table,
+)
 from ..registry import BACKBONES
 from .base import (
     DenseConvBNReLU,
@@ -29,6 +35,12 @@ from .base import (
     s2d_unpack,
     w_chunk,
     w_unchunk,
+)
+from .compact_exec import (
+    CompactPillars,
+    basic_block_compact,
+    basic_block_v_compact,
+    down_stage_compact,
 )
 
 
@@ -52,6 +64,11 @@ class _PillarResNetBase(nn.Module):
     chunk_nc: int = 8
     chunk_min_w: int = 512
     chunk_train: bool = True
+    # compact (gather-based) execution of conv1 + conv2 — engaged when the
+    # reader hands a CompactPillars table instead of a dense grid (reader
+    # knob: `compact_kmax`). Budget for the conv2 active-site table;
+    # 0 = 5/8 of the reader budget.
+    compact_kmax2: int = 0
 
     @property
     def backbone_channels(self):
@@ -70,6 +87,8 @@ class _PillarResNetBase(nn.Module):
 
     @nn.compact
     def __call__(self, grid, occ, train: bool = True) -> Dict[str, tuple]:
+        if isinstance(grid, CompactPillars):
+            return self._forward_compact(grid, train)
         c = self.in_channels
         use_s2d = (
             self.s2d_stage1
@@ -160,18 +179,103 @@ class _PillarResNetBase(nn.Module):
         }
 
         if self.with_conv5:
-            # dense stride-16 stage (`PillarResNet.py:110-117`)
-            y = DenseConvBNReLU(
-                c * 8, kernel_size=3, stride=2, dtype=self.dtype, name="conv5_down"
-            )(x4, train)
-            y = DenseConvBNReLU(
-                c * 8, kernel_size=3, stride=1, dtype=self.dtype, name="conv5_block0"
-            )(y, train)
-            y = DenseConvBNReLU(
-                c * 8, kernel_size=3, stride=1, dtype=self.dtype, name="conv5_block1"
-            )(y, train)
-            out["conv5"] = (y, None)
+            out["conv5"] = (self._conv5(x4, train), None)
 
+        return out
+
+    def _conv5(self, x4, train):
+        """Dense stride-16 stage (`PillarResNet.py:110-117`)."""
+        c = self.in_channels
+        y = DenseConvBNReLU(
+            c * 8, kernel_size=3, stride=2, dtype=self.dtype, name="conv5_down"
+        )(x4, train)
+        y = DenseConvBNReLU(
+            c * 8, kernel_size=3, stride=1, dtype=self.dtype, name="conv5_block0"
+        )(y, train)
+        y = DenseConvBNReLU(
+            c * 8, kernel_size=3, stride=1, dtype=self.dtype, name="conv5_block1"
+        )(y, train)
+        return y
+
+    def _forward_compact(self, cp: CompactPillars, train: bool):
+        """conv1 + conv2 over the compact active-site table (gather convs),
+        densify at the conv2 output (stride 2) where occupancy is high
+        enough that the dense MXU path wins, conv3+ as usual.
+
+        Equivalent of the reference's actual sparse execution
+        (`PillarResNet.py:73-108` over spconv tensors); numerics equal to
+        the masked-dense path (tested in test_compact_backbone.py).
+        """
+        import jax
+
+        c = self.in_channels
+        H, W = cp.height, cp.width
+        kmax = cp.site_ids.shape[1]
+        k2max = self.compact_kmax2 or max(8, (kmax * 5 // 8 + 7) // 8 * 8)
+
+        slot = jnp.arange(kmax, dtype=jnp.int32)
+        valid1 = slot[None, :] < cp.k_valid[:, None]
+        nbr1 = jax.vmap(
+            lambda s, k: subm_neighbor_table(s, k, H, W, kmax)
+        )(cp.site_ids, cp.k_valid)
+
+        x = Sparse2DBasicBlockV(
+            c, dtype=self.dtype, name="conv1_block0"
+        ).compact(cp.rows, nbr1, valid1, train)
+        for i in range(1, self.conv1_blocks):
+            x = Sparse2DBasicBlock(
+                c, dtype=self.dtype, name=f"conv1_block{i}"
+            ).compact(x, nbr1, valid1, train)
+
+        # conv2 tables: dilated coarse sites + strided/SubM gather indices
+        H2, W2 = H // 2, W // 2
+        ids2, k2 = jax.vmap(
+            lambda s, k: downsample_site_ids(s, k, H, W, k2max)
+        )(cp.site_ids, cp.k_valid)
+        nbr_down = jax.vmap(
+            lambda s2, kk2, s1, kk1: down_conv_neighbor_table(
+                s2, kk2, s1, kk1, H, W, kmax
+            )
+        )(ids2, k2, cp.site_ids, cp.k_valid)
+        nbr2 = jax.vmap(
+            lambda s, k: subm_neighbor_table(s, k, H2, W2, k2max)
+        )(ids2, k2)
+        valid2 = jnp.arange(k2max, dtype=jnp.int32)[None, :] < k2[:, None]
+
+        x2c = SparseDownStage(
+            c * 2, self.stage_blocks[0], in_channels=c, dtype=self.dtype,
+            name="conv2",
+        ).compact(x, nbr_down, nbr2, valid2, train)
+
+        # densify: conv3+ occupancy is high enough that dense wins
+        x2, m2 = jax.vmap(
+            lambda r, s, k: compact_to_dense(r, s, k, H2, W2)
+        )(jnp.pad(x2c, ((0, 0), (0, 1), (0, 0))), ids2, k2)
+        x2 = x2.astype(self.dtype)
+
+        x1_dense, m1 = jax.vmap(
+            lambda r, s, k: compact_to_dense(r, s, k, H, W)
+        )(jnp.pad(x, ((0, 0), (0, 1), (0, 0))), cp.site_ids, cp.k_valid)
+
+        x3, m3 = SparseDownStage(
+            c * 4, self.stage_blocks[1], in_channels=c * 2, dtype=self.dtype,
+            chunk_nc=self.chunk_nc, chunk_min_w=self.chunk_min_w,
+            chunk_train=self.chunk_train, name="conv3",
+        )(x2, m2, train)
+        x4, m4 = SparseDownStage(
+            c * 8, self.stage_blocks[2], in_channels=c * 4, dtype=self.dtype,
+            chunk_nc=self.chunk_nc, chunk_min_w=self.chunk_min_w,
+            chunk_train=self.chunk_train, name="conv4",
+        )(x3, m3, train)
+
+        out = {
+            "conv1": (x1_dense.astype(self.dtype), m1),
+            "conv2": (x2, m2),
+            "conv3": (x3, m3),
+            "conv4": (x4, m4),
+        }
+        if self.with_conv5:
+            out["conv5"] = (self._conv5(x4, train), None)
         return out
 
 

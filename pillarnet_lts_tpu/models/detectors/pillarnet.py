@@ -91,6 +91,12 @@ class PillarNet(nn.Module):
     def extract_feat(self, points, points_mask, train: bool):
         grid, occ = self.reader_net(points, points_mask, train)
         if self.spatial_axis:
+            if occ is None:
+                raise ValueError(
+                    "spatial_axis sharding requires the dense reader path "
+                    "(reader.compact_kmax=0); the compact row table has no "
+                    "H axis to shard"
+                )
             from ...parallel.spatial import pin_spatial
 
             grid = pin_spatial(grid, self.spatial_axis)

@@ -32,6 +32,12 @@ class DynamicPFE(nn.Module):
     pillar_size: float = 0.1
     pc_range: Sequence[float] = (0, -40, -3, 70.4, 40, 1)
     dtype: Any = jnp.float32
+    # > 0: emit a CompactPillars active-site row table (budget = this many
+    # sites) instead of the dense grid — engages the gather-based sparse
+    # conv1/conv2 path in the backbone (`backbones/compact_exec.py`), the
+    # TPU recast of the reference's spconv execution. The scatter-to-dense
+    # step disappears entirely in this mode.
+    compact_kmax: int = 0
 
     @property
     def spec(self) -> PillarSpec:
@@ -69,6 +75,28 @@ class DynamicPFE(nn.Module):
                 name=f"pfn_bn_{k}",
             )(x, mask=valid, train=train)
             x = nn.relu(x)
+
+        if self.compact_kmax > 0:
+            import jax
+
+            from ..backbones.compact_exec import CompactPillars
+            from ...ops.compact import compact_segment_max
+
+            hw = spec.height * spec.width
+            kmax = int(self.compact_kmax)
+            rows, site_ids, k_valid = jax.vmap(
+                lambda f, i, v: compact_segment_max(f, i, v, hw, kmax)
+            )(x, flat_ids, valid)
+            return (
+                CompactPillars(
+                    rows=rows[:, :kmax],  # drop the per-sample sentinel row
+                    site_ids=site_ids,
+                    k_valid=k_valid,
+                    height=spec.height,
+                    width=spec.width,
+                ),
+                None,
+            )
 
         grid, occ = pillar_scatter_max(x, flat_ids, valid, spec.height, spec.width)
         return grid, occ
