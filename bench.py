@@ -225,8 +225,14 @@ def main():
         root, "configs/pillarnet/pillarnet34_nusc_bf16.py"
     )
     m = _measure(cfg_path)
-    train_bs = 8
-    train_step_s = _measure_train(cfg_path, batch=train_bs)
+    train_step_s = None
+    for train_bs in (8, 4, 2):
+        try:
+            train_step_s = _measure_train(cfg_path, batch=train_bs)
+            break
+        except Exception as e:  # OOM at large batch -> fall back
+            print(f"# train bs={train_bs} failed: {type(e).__name__}",
+                  file=sys.stderr)
 
     record = {
         "metric": "pillarnet34_nusc_fps_bs1",
@@ -238,11 +244,14 @@ def main():
         "uniform_cloud_fps": round(1.0 / m["uniform_p50"], 3),
         "pipelined_fps": round(1.0 / m["pipelined"], 3),
         "fps_bs4": round(4.0 / m["bs4"], 3),
-        "train_samples_per_sec_bs8": round(train_bs / train_step_s, 3),
-        "train_step_ms_bs8": round(train_step_s * 1000, 1),
         "dispatch_floor_ms": round(m["dispatch_floor"] * 1000, 2),
         "compile_s": round(m["compile_s"], 1),
     }
+    if train_step_s is not None:
+        record[f"train_samples_per_sec_bs{train_bs}"] = round(
+            train_bs / train_step_s, 3
+        )
+        record[f"train_step_ms_bs{train_bs}"] = round(train_step_s * 1000, 1)
     print(json.dumps(record))
 
 

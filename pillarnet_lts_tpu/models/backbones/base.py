@@ -168,11 +168,18 @@ def center_w(x, w):
     return x if off == 0 else x[:, :, off : cur - off]
 
 
-def chunk_gate(train, chunk_nc, chunk_train, w, min_w):
-    """Single source of truth for when a stage runs in w_chunk tiled form."""
+def chunk_gate(train, chunk_nc, chunk_train, w, min_w, batch=1):
+    """Single source of truth for when a stage runs in w_chunk tiled form.
+
+    W-tiling exists to hand XLA a real batch dimension when the true batch
+    is tiny (space-to-batch conv form, see module comment). At batch >= 4
+    the convs are already batched, so tiling only multiplies the working
+    set (batch x chunk_nc activations — a bs=8 training graph OOMs 16 GB
+    HBM at chunk_nc=8) for no layout benefit; skip it."""
     return (
         (not train or chunk_train)
         and chunk_nc > 0
+        and batch <= 2
         and w >= min_w
         and w % chunk_nc == 0
     )
@@ -507,7 +514,7 @@ class SparseDownStage(nn.Module):
         else:
             y = conv_bn_act(self.down_conv, self.down_bn, x, new_mask, train)
         use_chunk = chunk_gate(train, self.chunk_nc, self.chunk_train,
-                               y.shape[2], self.chunk_min_w)
+                               y.shape[2], self.chunk_min_w, y.shape[0])
         if use_chunk:
             halo = 2 * self.num_blocks
             yc = w_chunk(y, self.chunk_nc, halo)

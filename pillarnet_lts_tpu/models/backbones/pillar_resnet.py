@@ -103,7 +103,7 @@ class _PillarResNetBase(nn.Module):
             x, occ4 = grid, occ
 
         use_chunk = chunk_gate(train, self.chunk_nc, self.chunk_train,
-                               x.shape[2], self.chunk_min_w)
+                               x.shape[2], self.chunk_min_w, x.shape[0])
         if use_chunk:
             nc = self.chunk_nc
             halo = 3 + 2 * (self.conv1_blocks - 1)  # convs in stage 1

@@ -108,3 +108,23 @@ def test_chunked_gate_requires_divisible_width():
     ref = _run(PillarResNet18, grid, occ, chunk_nc=0)
     for k in out:
         np.testing.assert_allclose(out[k], ref[k], atol=2e-4, rtol=1e-3)
+
+
+def test_chunked_gate_skips_large_batch():
+    # at batch >= 4 the convs are already batched; the gate must skip
+    # tiling (it would multiply the working set 8x) yet match numerically
+    from pillarnet_lts_tpu.models.backbones.base import chunk_gate
+
+    assert chunk_gate(False, 8, True, 512, 512, batch=1)
+    assert chunk_gate(False, 8, True, 512, 512, batch=2)
+    assert not chunk_gate(False, 8, True, 512, 512, batch=4)
+    assert not chunk_gate(True, 8, True, 512, 512, batch=8)
+
+    rng = np.random.RandomState(3)
+    occ = rng.rand(4, 64, 64) < 0.15
+    grid = rng.randn(4, 64, 64, 32).astype(np.float32) * occ[..., None]
+    grid, occ = jnp.asarray(grid), jnp.asarray(occ)
+    out = _run(PillarResNet18, grid, occ, chunk_nc=8, chunk_min_w=16)
+    ref = _run(PillarResNet18, grid, occ, chunk_nc=0)
+    for k in out:
+        np.testing.assert_allclose(out[k], ref[k], atol=2e-4, rtol=1e-3)
