@@ -95,6 +95,75 @@ def expand_kernel_s2d(w):
     return wp
 
 
+def expand_kernel_s2d_aligned(w):
+    """(3, 3, ci, co) fine stride-1 kernel -> (2, 2, 4ci, 4co) coarse kernel
+    for a PHASE-ALIGNED s2d input (`s2d_phase_align`).
+
+    The plain expansion (`expand_kernel_s2d`) needs a (3, 3) coarse support
+    because input phase (ap, bp) contributes from coarse offsets
+    {-ap, 1-ap} x {-bp, 1-bp}; 9 of 36 tap slots are nonzero -> 4x the fine
+    conv's FLOPs. Pre-shifting each input phase block down-right by
+    (ap, bp) coarse cells folds those per-phase offsets into one common
+    {0, 1} support: the kernel shrinks to (2, 2) with 9 of 16 slots used,
+    i.e. 16/9 = 1.78x fine FLOPs at full 128-lane MXU utilization.
+
+    MEASURED AND REJECTED as the default (round 3): the per-conv
+    `s2d_phase_align` pass (4 slices + pads + concat, a forced input
+    materialization XLA cannot fuse into the conv) costs far more than the
+    FLOP saving — conv1 stage 15.6 -> 40.7 ms, full pipeline 87 -> 114 ms
+    on the v5e. The output frame is phase-UNaligned, so every conv in a
+    chain pays its own realign; an aligned-in/aligned-out formulation
+    needs a (3,) support again (offset (di + ap - a)/2 spans {-1,0,1}).
+    Kept (exact-numerics tested) as the record of that experiment."""
+    _, _, ci, co = w.shape
+    wp = jnp.zeros((2, 2, 4 * ci, 4 * co), w.dtype)
+    for a in (0, 1):
+        for b in (0, 1):
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    s, ap = divmod(a + di, 2)
+                    t, bp = divmod(b + dj, 2)
+                    pin, pout = 2 * ap + bp, 2 * a + b
+                    wp = jax.lax.dynamic_update_slice(
+                        wp, w[di + 1:di + 2, dj + 1:dj + 2],
+                        (s + ap, t + bp, pin * ci, pout * co),
+                    )
+    return wp
+
+
+def s2d_phase_align(x, chunked=False):
+    """Shift each phase block (ap, bp) of a phase-major s2d tensor
+    down-right by (ap, bp) coarse cells (zero-filled, matching the fine
+    conv's SAME padding). Companion of `expand_kernel_s2d_aligned`.
+
+    x: (B, Hc, Wc, 4C). When `chunked` (overlapped W tiles), the W shift
+    consumes one left halo column instead of zero-padding: output width
+    Wc - 1, and the following (2,)-wide unpadded conv consumes one more on
+    the right — the same one-column-per-side halo decay as the (3,)-wide
+    unaligned conv."""
+    c = x.shape[-1] // 4
+    wc = x.shape[2]
+    blocks = []
+    for ap in (0, 1):
+        for bp in (0, 1):
+            p = 2 * ap + bp
+            blk = x[..., p * c:(p + 1) * c]
+            # height grows to Hc+1 (pad ap on top, 1-ap below) so the
+            # unpadded 2-tap conv sees both the shifted-in zero AND the
+            # last real row; same for width when not chunked
+            blk = jnp.pad(
+                blk, ((0, 0), (ap, 1 - ap), (0, 0), (0, 0))
+            )
+            if chunked:
+                blk = blk[:, :, 1 - bp: wc - bp]
+            else:
+                blk = jnp.pad(
+                    blk, ((0, 0), (0, 0), (bp, 1 - bp), (0, 0))
+                )
+            blocks.append(blk)
+    return jnp.concatenate(blocks, axis=-1)
+
+
 def expand_kernel_s2d_down(w):
     """(3, 3, ci, co) fine stride-2 kernel -> (2, 2, 4ci, co) coarse stride-1
     kernel (use with padding ((1, 0), (1, 0)))."""
@@ -219,13 +288,14 @@ def conv_bn_act_s2d(conv: "MaskedConv", bn: MaskedBatchNorm, x, masks,
     mask4 = masks["mask4"]
     c = conv.features
     w = expand_kernel_s2d(conv.kernel)
+    hpad = (1, 1)
     wpad = (0, 0) if chunked else (1, 1)
     if train:
         stat4 = masks.get("stat4")
         b = _tile4(conv.bias) if conv.use_bias else None
         y = jax.lax.conv_general_dilated(
             x.astype(conv.dtype), w.astype(conv.dtype), (1, 1),
-            ((1, 1), wpad), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            (hpad, wpad), dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if b is not None:
             y = y + b.astype(y.dtype)
@@ -241,7 +311,7 @@ def conv_bn_act_s2d(conv: "MaskedConv", bn: MaskedBatchNorm, x, masks,
             shift = conv.bias * inv + shift
         y = jax.lax.conv_general_dilated(
             x.astype(conv.dtype), (w * _tile4(inv)).astype(conv.dtype),
-            (1, 1), ((1, 1), wpad),
+            (1, 1), (hpad, wpad),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         y = y + _tile4(shift).astype(y.dtype)

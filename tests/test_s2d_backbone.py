@@ -95,3 +95,33 @@ def test_backbone_s2d_odd_grid_falls_back():
     variables = bb.init(jax.random.PRNGKey(0), grid, occ, train=False)
     out = bb.apply(variables, grid, occ, train=False)
     assert out["conv1"][0].shape == grid.shape
+
+
+def test_aligned_expand_kernel_matches_fine_conv():
+    # phase-aligned (2,2) coarse formulation: 1.78x fine FLOPs instead of
+    # the (3,3) expansion's 4x, exact numerics (incl. all boundaries)
+    from pillarnet_lts_tpu.models.backbones.base import (
+        expand_kernel_s2d_aligned,
+        s2d_phase_align,
+    )
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 16, 20, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 5).astype(np.float32))
+
+    fine = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    coarse = jax.lax.conv_general_dilated(
+        s2d_phase_align(s2d_pack(x)), expand_kernel_s2d_aligned(w),
+        (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(s2d_unpack(coarse, 5)), np.asarray(fine), atol=1e-5
+    )
+    # 9 of 16 tap slots per phase pair are nonzero
+    wq = np.asarray(expand_kernel_s2d_aligned(w))
+    nz = (np.abs(wq.reshape(4, 4, 3, 4, 5)) > 0).any(axis=(2, 4))
+    assert int(nz.sum()) == 9 * 4
