@@ -98,5 +98,8 @@ class DynamicPFE(nn.Module):
                 None,
             )
 
-        grid, occ = pillar_scatter_max(x, flat_ids, valid, spec.height, spec.width)
+        # post-ReLU features are >= 0: engage the scatter's ungated fast path
+        grid, occ = pillar_scatter_max(
+            x, flat_ids, valid, spec.height, spec.width, nonneg=True
+        )
         return grid, occ

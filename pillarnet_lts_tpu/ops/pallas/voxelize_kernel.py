@@ -193,7 +193,7 @@ _MXU_CHUNK = 512
 
 def _mxu_kernel(tile_starts_ref, ids_ref, feats_ref, grid_ref,
                 feats_vmem, ids_vmem, sem, *, tile_pillars, occ_col,
-                id_col, dot_dtype):
+                id_col, dot_dtype, nonneg=False):
     t = pl.program_id(0)
     base = t * tile_pillars
 
@@ -283,6 +283,13 @@ def _mxu_kernel(tile_starts_ref, ids_ref, feats_ref, grid_ref,
                        if dot_dtype == jnp.float32 else
                        jax.lax.Precision.DEFAULT),
         )
+        if nonneg:
+            # caller guarantees features >= 0 (post-ReLU PFE): untouched
+            # contrib rows are 0 == the zero init, so a single plain max
+            # pass replaces the 5-pass touched/seen gating below
+            grid_ref[:] = jnp.maximum(grid_ref[:], contrib.astype(
+                grid_ref.dtype))
+            return 0
         # a pillar appears at most once per chunk; combine chunks by max,
         # gated on occupancy columns: rows the chunk does not touch stay
         # put, a row's FIRST touch replaces the zero-init (the true max may
@@ -300,15 +307,20 @@ def _mxu_kernel(tile_starts_ref, ids_ref, feats_ref, grid_ref,
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def pillar_scatter_max_mxu(point_feats, flat_ids, valid, height, width,
-                           tile_rows=2):
-    """Same contract as `pillar_scatter_max_pallas`, MXU-matmul backend."""
+                           tile_rows=2, nonneg=False):
+    """Same contract as `pillar_scatter_max_pallas`, MXU-matmul backend.
+
+    `nonneg=True` asserts every valid feature is >= 0 (true for post-ReLU
+    PFE features); the kernel then combines chunks with one plain max pass
+    instead of occupancy-gated selects (measured 14.6 -> see ROADMAP)."""
     return _scatter_mxu_impl(point_feats, flat_ids, valid, height, width,
-                             tile_rows)
+                             tile_rows, nonneg)
 
 
-def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows):
+def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows,
+                      nonneg=False):
     out_dtype = point_feats.dtype
     B, N, C = point_feats.shape
     hw = height * width
@@ -368,7 +380,7 @@ def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows):
 
         grid = pl.pallas_call(
             partial(_mxu_kernel, tile_pillars=tile_pillars, occ_col=C,
-                    id_col=C + 1, dot_dtype=acc_dtype),
+                    id_col=C + 1, dot_dtype=acc_dtype, nonneg=nonneg),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(num_tiles,),
@@ -399,14 +411,15 @@ def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows):
 
 
 def _scatter_mxu_vjp_fwd(point_feats, flat_ids, valid, height, width,
-                         tile_rows):
+                         tile_rows, nonneg):
     grid, occ = _scatter_mxu_impl(
-        point_feats, flat_ids, valid, height, width, tile_rows
+        point_feats, flat_ids, valid, height, width, tile_rows, nonneg
     )
     return (grid, occ), (point_feats, flat_ids, valid, grid)
 
 
-def _scatter_mxu_vjp_bwd(height, width, tile_rows, residuals, cotangents):
+def _scatter_mxu_vjp_bwd(height, width, tile_rows, nonneg, residuals,
+                         cotangents):
     return _scatter_vjp_bwd(height, width, tile_rows, residuals, cotangents)
 
 

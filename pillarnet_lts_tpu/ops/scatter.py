@@ -37,8 +37,12 @@ def _resolve():
     return "mxu" if platform not in ("cpu",) else "xla"
 
 
-def pillar_scatter_max(point_feats, flat_ids, valid, height, width):
-    """(B, N, C) features + (B, N) pillar ids -> (B, H, W, C) grid, (B, H, W) occ."""
+def pillar_scatter_max(point_feats, flat_ids, valid, height, width,
+                       nonneg=False):
+    """(B, N, C) features + (B, N) pillar ids -> (B, H, W, C) grid, (B, H, W) occ.
+
+    `nonneg=True` promises every valid feature is >= 0 (e.g. post-ReLU PFE
+    outputs); TPU backends use a cheaper ungated max-combine for it."""
     backend = _resolve()
     if backend == "pallas":
         from .pallas.voxelize_kernel import pillar_scatter_max_pallas
@@ -50,7 +54,7 @@ def pillar_scatter_max(point_feats, flat_ids, valid, height, width):
         from .pallas.voxelize_kernel import pillar_scatter_max_mxu
 
         return pillar_scatter_max_mxu(
-            point_feats, flat_ids, valid, height, width
+            point_feats, flat_ids, valid, height, width, 2, nonneg
         )
     if backend == "sort":
         return scatter_max_to_grid_sorted(
