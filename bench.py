@@ -146,10 +146,11 @@ def _measure(config_path, n_frames=24):
     }
 
 
-def _measure_train(config_path, batch=8, iters=6):
+def _measure_train(config_path, batch=8, iters=6, remat=False):
     """samples/s/chip for the jitted train step at the reference's training
     batch shape (bs=4/GPU in `configs/pillarnet/pillarnet_centerhead_nusc.py`;
-    bs=8 here — judge item r2-#2)."""
+    bs=8 here — judge item r2-#2). `remat` activation-checkpoints the
+    backbone blocks so bs=8 fits one 16 GB chip."""
     import jax
     import jax.numpy as jnp
 
@@ -161,6 +162,8 @@ def _measure_train(config_path, batch=8, iters=6):
     from pillarnet_lts_tpu.utils.config import Config
 
     cfg = Config.fromfile(config_path)
+    if remat:
+        cfg.model["backbone"]["remat"] = True
     model = build_model_from_cfg(cfg)
     B, N = batch, cfg.data["max_points"]
     pts, mask = _synth_points_realistic(B, N, cfg.point_cloud_range)
@@ -226,13 +229,18 @@ def main():
     )
     m = _measure(cfg_path)
     train_step_s = None
-    for train_bs in (8, 4, 2):
+    train_remat = False
+    # bs >= 2 needs remat: the plain backward's fp32 BN/conv temps OOM a
+    # 16 GB chip already at bs=2 (measured RESOURCE_EXHAUSTED)
+    for train_bs, train_remat in ((8, True), (4, True), (2, True),
+                                  (1, False)):
         try:
-            train_step_s = _measure_train(cfg_path, batch=train_bs)
+            train_step_s = _measure_train(cfg_path, batch=train_bs,
+                                          remat=train_remat)
             break
         except Exception as e:  # OOM at large batch -> fall back
-            print(f"# train bs={train_bs} failed: {type(e).__name__}",
-                  file=sys.stderr)
+            print(f"# train bs={train_bs} remat={train_remat} failed: "
+                  f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
 
     record = {
         "metric": "pillarnet34_nusc_fps_bs1",
@@ -252,6 +260,8 @@ def main():
             train_bs / train_step_s, 3
         )
         record[f"train_step_ms_bs{train_bs}"] = round(train_step_s * 1000, 1)
+        if train_remat:
+            record["train_remat"] = True
     print(json.dumps(record))
 
 

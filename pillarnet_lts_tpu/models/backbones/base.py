@@ -240,15 +240,18 @@ def center_w(x, w):
 def chunk_gate(train, chunk_nc, chunk_train, w, min_w, batch=1):
     """Single source of truth for when a stage runs in w_chunk tiled form.
 
-    W-tiling exists to hand XLA a real batch dimension when the true batch
-    is tiny (space-to-batch conv form, see module comment). At batch >= 4
-    the convs are already batched, so tiling only multiplies the working
-    set (batch x chunk_nc activations — a bs=8 training graph OOMs 16 GB
-    HBM at chunk_nc=8) for no layout benefit; skip it."""
+    W-tiling keeps XLA's batched conv form end-to-end (see module comment).
+    TRAINING at batch >= 4 skips it: the backward stores batch x chunk_nc
+    tiled activations and a bs=8 training graph OOMs 16 GB HBM at
+    chunk_nc=8, while batched training convs gain little from the layout.
+    EVAL keeps tiling at any batch — without it a bs=4 serving graph pays
+    the per-conv relayout round trip again (measured: bs=4 inference ran
+    at 10.4 FPS untiled, below the 11.4 serial bs=1 number; eval stores no
+    activations, so the working-set multiplication does not bite)."""
     return (
         (not train or chunk_train)
         and chunk_nc > 0
-        and batch <= 2
+        and (not train or batch <= 2)
         and w >= min_w
         and w % chunk_nc == 0
     )

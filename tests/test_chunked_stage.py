@@ -111,13 +111,17 @@ def test_chunked_gate_requires_divisible_width():
 
 
 def test_chunked_gate_skips_large_batch():
-    # at batch >= 4 the convs are already batched; the gate must skip
-    # tiling (it would multiply the working set 8x) yet match numerically
+    # TRAINING at batch >= 4 must skip tiling (the backward's tiled
+    # activations OOM 16 GB HBM at bs=8); EVAL tiles at any batch (serving
+    # graphs pay the per-conv relayout without it) and must match
+    # numerically
     from pillarnet_lts_tpu.models.backbones.base import chunk_gate
 
     assert chunk_gate(False, 8, True, 512, 512, batch=1)
     assert chunk_gate(False, 8, True, 512, 512, batch=2)
-    assert not chunk_gate(False, 8, True, 512, 512, batch=4)
+    assert chunk_gate(False, 8, True, 512, 512, batch=4)
+    assert chunk_gate(True, 8, True, 512, 512, batch=2)
+    assert not chunk_gate(True, 8, True, 512, 512, batch=4)
     assert not chunk_gate(True, 8, True, 512, 512, batch=8)
 
     rng = np.random.RandomState(3)
