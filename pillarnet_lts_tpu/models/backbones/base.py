@@ -539,6 +539,11 @@ class SparseDownStage(nn.Module):
     chunk_nc: int = 0
     chunk_min_w: int = 512
     chunk_train: bool = True
+    # activation-checkpoint each residual block: the stage backward then
+    # holds ONE block's space-to-batch/BN fp32 temps at a time instead of
+    # all of them (a 720^2 x 64 stage keeps ~9 x 550 MB temps resident
+    # without it). Engaged by the backbone-level `remat` flag.
+    remat: bool = False
 
     def setup(self):
         cin = (self.channels // 2 if self.in_channels is None
@@ -551,8 +556,12 @@ class SparseDownStage(nn.Module):
             self.channels, momentum=self.momentum, eps=self.eps,
             dtype=self.dtype,
         )
+        # flax nn.remat argnums count `self` as 0; only positional call
+        # args can be static: (self, x, mask, train, chunked)
+        block_cls = (nn.remat(Sparse2DBasicBlock, static_argnums=(3, 4))
+                     if self.remat else Sparse2DBasicBlock)
         self.blocks = [
-            Sparse2DBasicBlock(
+            block_cls(
                 self.channels, self.momentum, self.eps, dtype=self.dtype,
                 name=f"block{i}",
             )
@@ -609,11 +618,11 @@ class SparseDownStage(nn.Module):
                     ).astype(self.dtype),
                 }
             for blk in self.blocks:
-                yc = blk(yc, mc, train, chunked=True)
+                yc = blk(yc, mc, train, True)
             y = w_unchunk(yc, self.chunk_nc)
         else:
             for blk in self.blocks:
-                y = blk(y, new_mask, train)
+                y = blk(y, new_mask, train, False)
         return y, new_mask
 
     def compact(self, rows_fine, nbr_down, nbr_coarse, valid_coarse,

@@ -174,17 +174,17 @@ class _PillarResNetBase(nn.Module):
             c * 2, self.stage_blocks[0], in_channels=c, dtype=self.dtype,
             s2d_in=use_s2d, chunk_nc=self.chunk_nc,
             chunk_min_w=self.chunk_min_w, chunk_train=self.chunk_train,
-            name="conv2",
+            remat=self.remat, name="conv2",
         )(x, m1, train)
         x3, m3 = Down(
             c * 4, self.stage_blocks[1], in_channels=c * 2, dtype=self.dtype,
             chunk_nc=self.chunk_nc, chunk_min_w=self.chunk_min_w,
-            chunk_train=self.chunk_train, name="conv3",
+            chunk_train=self.chunk_train, remat=self.remat, name="conv3",
         )(x2, m2, train)
         x4, m4 = Down(
             c * 8, self.stage_blocks[2], in_channels=c * 4, dtype=self.dtype,
             chunk_nc=self.chunk_nc, chunk_min_w=self.chunk_min_w,
-            chunk_train=self.chunk_train, name="conv4",
+            chunk_train=self.chunk_train, remat=self.remat, name="conv4",
         )(x3, m3, train)
 
         out = {
@@ -278,12 +278,12 @@ class _PillarResNetBase(nn.Module):
         x3, m3 = SparseDownStage(
             c * 4, self.stage_blocks[1], in_channels=c * 2, dtype=self.dtype,
             chunk_nc=self.chunk_nc, chunk_min_w=self.chunk_min_w,
-            chunk_train=self.chunk_train, name="conv3",
+            chunk_train=self.chunk_train, remat=self.remat, name="conv3",
         )(x2, m2, train)
         x4, m4 = SparseDownStage(
             c * 8, self.stage_blocks[2], in_channels=c * 4, dtype=self.dtype,
             chunk_nc=self.chunk_nc, chunk_min_w=self.chunk_min_w,
-            chunk_train=self.chunk_train, name="conv4",
+            chunk_train=self.chunk_train, remat=self.remat, name="conv4",
         )(x3, m3, train)
 
         out = {
