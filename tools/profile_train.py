@@ -118,11 +118,15 @@ def main():
     fwd = jax.jit(lambda p, bs, b: loss_only(p, bs, b)[0])
     t_f = timeit("forward+loss", fwd, state.params, state.batch_stats, batch)
 
-    grad_fn = jax.jit(
-        lambda p, bs, b: jax.value_and_grad(loss_only, has_aux=True)(
-            p, bs, b
-        )[0][0]
-    )
+    def _fwd_bwd(p, bs, b):
+        (l, _), grads = jax.value_and_grad(loss_only, has_aux=True)(p, bs, b)
+        # reduce over every grad leaf so XLA cannot dead-code-eliminate the
+        # backward (returning only the loss measures the forward again)
+        gsum = sum(jnp.sum(g.astype(jnp.float32))
+                   for g in jax.tree_util.tree_leaves(grads))
+        return l + 0.0 * gsum
+
+    grad_fn = jax.jit(_fwd_bwd)
     t_fb = timeit("forward+loss+grads", grad_fn, state.params,
                   state.batch_stats, batch)
 
