@@ -307,6 +307,85 @@ def _mxu_kernel(tile_starts_ref, ids_ref, feats_ref, grid_ref,
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
 
 
+def _mxu_kernel_cg(tbl_ref, ids_ref, feats_ref, grid_ref, *, tile_pillars,
+                   occ_col, id_col, dot_dtype, nonneg):
+    """Chunk-scheduled variant: ONE point chunk per grid step.
+
+    The tile-scheduled kernel (`_mxu_kernel`) runs a manual double-buffered
+    chunk loop inside each of ~720 tile steps; most tiles hold only 1-2
+    chunks, so the loop prologue/epilogue and semaphore waits dominate.
+    Here the Pallas grid IS the chunk schedule: a scalar-prefetched table
+    maps slot -> (tile, chunk row, first-visit, valid); consecutive slots
+    of one tile revisit the same output block (Pallas keeps it resident in
+    VMEM and flushes on index change), and input chunks are pipelined by
+    the normal BlockSpec machinery instead of hand-rolled DMA.
+    """
+    s = pl.program_id(0)
+    t = tbl_ref[0, s]
+    g = tbl_ref[1, s]
+    first = tbl_ref[2, s]
+    v = tbl_ref[3, s]
+
+    @pl.when(first == 1)
+    def _():
+        grid_ref[:] = jnp.zeros_like(grid_ref)
+
+    @pl.when(v == 1)
+    def _():
+        vals = feats_ref[:]  # (CHUNK, c_pad) fp32, auto-pipelined
+        c_pad = vals.shape[1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad), 1)
+        id_lane = (lane == id_col).astype(jnp.float32)
+        occ_lane = (lane == occ_col).astype(jnp.float32)
+        idc = (vals * id_lane).sum(axis=1, keepdims=True)
+
+        # chunk-local segmented suffix max (see _mxu_kernel)
+        d = 1
+        while d < _MXU_CHUNK:
+            same = idc == jnp.concatenate(
+                [idc[d:], jnp.full((d, 1), -1.0, idc.dtype)], axis=0
+            )
+            shifted = jnp.concatenate(
+                [vals[d:], jnp.zeros((d, c_pad), vals.dtype)], axis=0
+            )
+            vals = jnp.where(same, jnp.maximum(vals, shifted), vals)
+            d *= 2
+        prev = jnp.concatenate(
+            [jnp.full((1, 1), -1.0, idc.dtype), idc[:-1]], axis=0
+        )
+        vals = jnp.where(idc != prev, vals, 0.0)
+
+        row = ids_ref[pl.ds(jax.lax.rem(g, 8), 1), :]  # (1, CHUNK) int32
+        row_ids = (
+            jax.lax.broadcasted_iota(
+                jnp.int32, (tile_pillars, _MXU_CHUNK), 0
+            )
+            + t * tile_pillars
+        )
+        onehot = (row == row_ids).astype(dot_dtype)
+        contrib = jax.lax.dot_general(
+            onehot, vals.astype(dot_dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.HIGHEST
+                       if dot_dtype == jnp.float32 else
+                       jax.lax.Precision.DEFAULT),
+        )
+        if nonneg:
+            grid_ref[:] = jnp.maximum(
+                grid_ref[:], contrib.astype(grid_ref.dtype)
+            )
+        else:
+            touched = (contrib * occ_lane).sum(axis=1, keepdims=True) > 0.0
+            cur = grid_ref[:]
+            contrib_c = contrib.astype(cur.dtype)
+            seen = (cur.astype(jnp.float32) * occ_lane).sum(
+                axis=1, keepdims=True
+            ) > 0.0
+            upd = jnp.where(seen, jnp.maximum(cur, contrib_c), contrib_c)
+            grid_ref[:] = jnp.where(touched, upd, cur)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def pillar_scatter_max_mxu(point_feats, flat_ids, valid, height, width,
                            tile_rows=2, nonneg=False):
@@ -317,6 +396,22 @@ def pillar_scatter_max_mxu(point_feats, flat_ids, valid, height, width,
     instead of occupancy-gated selects (measured 14.6 -> see ROADMAP)."""
     return _scatter_mxu_impl(point_feats, flat_ids, valid, height, width,
                              tile_rows, nonneg)
+
+
+# schedule selector for the MXU scatter: 'tile' = per-tile chunk loop
+# (`_mxu_kernel`), 'chunk' = chunk-parallel grid with output revisiting
+# (`_mxu_kernel_cg`). Module-level so benchmarks can A/B it. 'chunk' is
+# the default: same-session A/B measures 12.5 vs 14.4 ms for the 262k ->
+# 1440^2 x 32 workload (most tiles hold 1-2 chunks, so the tile loop's
+# prologue/DMA waits dominate it); sweeping tile_rows/_MXU_CHUNK under
+# 'chunk' is flat within the ~1.5 ms relay run-to-run variance.
+_MXU_SCHED = "chunk"
+
+
+def set_mxu_schedule(name):
+    global _MXU_SCHED
+    assert name in ("tile", "chunk")
+    _MXU_SCHED = name
 
 
 def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows,
@@ -378,30 +473,88 @@ def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows,
             sorted_ids[:N], tile_bounds, side="left"
         ).astype(jnp.int32)
 
-        grid = pl.pallas_call(
-            partial(_mxu_kernel, tile_pillars=tile_pillars, occ_col=C,
-                    id_col=C + 1, dot_dtype=acc_dtype, nonneg=nonneg),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(num_tiles,),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pl.ANY),  # ids (chunks, CHUNK)
-                    pl.BlockSpec(memory_space=pl.ANY),  # head feats + occ
-                ],
-                out_specs=pl.BlockSpec(
-                    (tile_pillars, c_pad), lambda t, *_: (t, 0),
-                    memory_space=pltpu.VMEM,
+        if _MXU_SCHED == "chunk":
+            ch = _MXU_CHUNK
+            starts, ends = tile_starts[:-1], tile_starts[1:]
+            astarts = (starts // ch) * ch
+            # chunks this tile really owns (0 for empty tiles); every tile
+            # still gets >= 1 slot so its output block is zero-initialized
+            real = jnp.where(
+                ends > starts, -(-(ends - astarts) // ch), 0
+            ).astype(jnp.int32)
+            nct = jnp.maximum(real, 1)
+            cum = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32),
+                 jnp.cumsum(nct, dtype=jnp.int32)]
+            )
+            # static slot budget: every chunk once + one spill/dummy per
+            # tile; data never exceeds it (sum(real) <= chunks, +1/tile)
+            S = aug.shape[0] // ch + num_tiles
+            s_idx = jnp.arange(S, dtype=jnp.int32)
+            t_of = jnp.clip(
+                jnp.searchsorted(cum, s_idx, side="right").astype(jnp.int32)
+                - 1,
+                0, num_tiles - 1,
+            )
+            off = s_idx - cum[t_of]
+            first = (off == 0).astype(jnp.int32)
+            g_of = jnp.clip(
+                astarts[t_of] // ch + off, 0, ids_2d.shape[0] - 1
+            )
+            valid_s = (off < real[t_of]).astype(jnp.int32)
+            tbl = jnp.stack([t_of, g_of, first, valid_s])
+
+            grid = pl.pallas_call(
+                partial(_mxu_kernel_cg, tile_pillars=tile_pillars,
+                        occ_col=C, id_col=C + 1, dot_dtype=acc_dtype,
+                        nonneg=nonneg),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(S,),
+                    in_specs=[
+                        pl.BlockSpec(
+                            (8, _MXU_CHUNK),
+                            lambda s, tbl: (tbl[1, s] // 8, 0),
+                        ),
+                        pl.BlockSpec(
+                            (_MXU_CHUNK, c_pad),
+                            lambda s, tbl: (tbl[1, s], 0),
+                        ),
+                    ],
+                    out_specs=pl.BlockSpec(
+                        (tile_pillars, c_pad),
+                        lambda s, tbl: (tbl[0, s], 0),
+                    ),
                 ),
-                scratch_shapes=[
-                    pltpu.VMEM((2, _MXU_CHUNK, c_pad), aug.dtype),
-                    pltpu.VMEM((2, 8, _MXU_CHUNK), jnp.int32),
-                    pltpu.SemaphoreType.DMA((4,)),
-                ],
-            ),
-            out_shape=jax.ShapeDtypeStruct(
-                (padded_pillars, c_pad), acc_dtype
-            ),
-        )(tile_starts, ids_2d, aug)
+                out_shape=jax.ShapeDtypeStruct(
+                    (padded_pillars, c_pad), acc_dtype
+                ),
+            )(tbl, ids_2d, aug)
+        else:
+            grid = pl.pallas_call(
+                partial(_mxu_kernel, tile_pillars=tile_pillars, occ_col=C,
+                        id_col=C + 1, dot_dtype=acc_dtype, nonneg=nonneg),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(num_tiles,),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pl.ANY),  # ids
+                        pl.BlockSpec(memory_space=pl.ANY),  # feats + occ
+                    ],
+                    out_specs=pl.BlockSpec(
+                        (tile_pillars, c_pad), lambda t, *_: (t, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    scratch_shapes=[
+                        pltpu.VMEM((2, _MXU_CHUNK, c_pad), aug.dtype),
+                        pltpu.VMEM((2, 8, _MXU_CHUNK), jnp.int32),
+                        pltpu.SemaphoreType.DMA((4,)),
+                    ],
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (padded_pillars, c_pad), acc_dtype
+                ),
+            )(tile_starts, ids_2d, aug)
 
         occ = grid[:hw, C] > 0.0
         out = jnp.where(occ[:, None], grid[:hw, :C], 0.0).astype(out_dtype)

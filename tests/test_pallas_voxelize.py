@@ -150,3 +150,45 @@ def test_mxu_scatter_negative_max_across_chunks():
     np.testing.assert_allclose(
         np.asarray(got_grid), np.asarray(want_grid), atol=1e-6
     )
+
+
+@pytest.mark.parametrize("nonneg", [False, True])
+def test_mxu_chunk_schedule_matches_xla(nonneg):
+    """Chunk-parallel schedule (`_mxu_kernel_cg`): one chunk per grid step
+    with output-block revisiting. Covers empty tiles (zero-init via dummy
+    slots), multi-chunk tiles, and both combine paths."""
+    from pillarnet_lts_tpu.ops.pallas.voxelize_kernel import (
+        pillar_scatter_max_mxu,
+        set_mxu_schedule,
+    )
+
+    rng = np.random.RandomState(7)
+    B, N, C = 2, 700, 8
+    H, W = 16, 16
+    feats = rng.randn(B, N, C).astype(np.float32)
+    if nonneg:
+        feats = np.abs(feats)
+    # confine ids to the top half of the grid so the lower row-band tiles
+    # are EMPTY (their output must still be zero-initialized)
+    ids = rng.randint(0, (H // 2) * W, (B, N)).astype(np.int32)
+    valid = rng.rand(B, N) > 0.3
+    ids_s = np.where(valid, ids, H * W).astype(np.int32)
+
+    want_grid, want_occ = scatter_max_to_grid(
+        jnp.array(feats), jnp.array(ids_s), jnp.array(valid), H, W
+    )
+
+    set_mxu_schedule("chunk")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got_grid, got_occ = pillar_scatter_max_mxu(
+                jnp.array(feats), jnp.array(ids_s), jnp.array(valid), H, W,
+                4, nonneg,
+            )
+    finally:
+        set_mxu_schedule("tile")
+
+    np.testing.assert_array_equal(np.asarray(got_occ), np.asarray(want_occ))
+    np.testing.assert_allclose(
+        np.asarray(got_grid), np.asarray(want_grid), atol=1e-6
+    )
