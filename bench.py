@@ -249,6 +249,11 @@ def main():
         "vs_baseline": round(1.0 / m["real_p50"] / BASELINE_FPS, 3),
         "p50_latency_ms": round(m["real_p50"] * 1000, 2),
         "p99_latency_ms": round(m["real_p99"] * 1000, 2),
+        # serial latency minus the measured relay dispatch floor: the
+        # floor varies 25-38 ms run to run, so this is the stable number
+        "onchip_p50_ms": round(
+            (m["real_p50"] - m["dispatch_floor"]) * 1000, 2
+        ),
         "uniform_cloud_fps": round(1.0 / m["uniform_p50"], 3),
         "pipelined_fps": round(1.0 / m["pipelined"], 3),
         "fps_bs4": round(4.0 / m["bs4"], 3),
