@@ -25,7 +25,7 @@ model = dict(
         pillar_size=pillar_size,
         pc_range=point_cloud_range,
     ),
-    backbone=dict(type="PillarResNet34", in_channels=32),
+    backbone=dict(type="PillarResNet34", in_channels=32, remat=True),
     neck=dict(
         type="RPNV1",
         layer_nums=[5, 5],
