@@ -68,9 +68,27 @@ def apply_pretrained(trainer, model_cfg, logger=None):
     }
     for path, subtree in specs:
         try:
-            variables, _ = load_pretrained(
-                variables, path, subtree=subtree, logger=logger
-            )
+            if str(path).endswith((".pth", ".pt")):
+                # reference torch checkpoint: convert in place (numerics
+                # pinned by tests/test_torch_convert.py). Only whole-model
+                # loads are supported this way; for the R-CNN stage-1
+                # bootstrap convert to orbax first (tools/convert_torch.py).
+                from .runtime.torch_convert import (
+                    convert_state_dict, load_torch_state_dict)
+
+                if subtree is not None:
+                    raise ValueError(
+                        "subtree loads from .pth are not supported; run "
+                        "tools/convert_torch.py first")
+                variables, rep = convert_state_dict(
+                    load_torch_state_dict(path), variables, strict=False)
+                logger.info(
+                    "converted torch checkpoint %s (%d leaves, %d missing)",
+                    path, len(rep["converted"]), len(rep["missing"]))
+            else:
+                variables, _ = load_pretrained(
+                    variables, path, subtree=subtree, logger=logger
+                )
             logger.info("init weight from %s", path)
         except Exception as e:  # parity: reference swallows and proceeds
             logger.warning("no pretrained model at %s (%s)", path, e)

@@ -1,0 +1,468 @@
+"""Torch-checkpoint conversion: structural + numeric parity.
+
+The oracle is a torch *dense emulation* of the reference model built with
+the reference's exact module/attribute layout (so its state_dict keys match
+a real ``det3d`` checkpoint key-for-key; see
+``det3d/models/backbones/base.py:145-215``, ``PillarResNet.py:14-60``,
+``necks/rpn.py:137-209``, ``bbox_heads/center_head.py:14-112``).  On a
+fully-active pillar grid every sparse op in the reference reduces to its
+dense counterpart, so torch-dense forward == reference forward == our
+masked-dense forward — which pins every weight transpose and key mapping
+in ``runtime/torch_convert.py`` numerically, end to end.
+
+Weights destined for spconv modules are exported in spconv 2.x KRSC layout
+(what a real reference checkpoint contains).
+"""
+
+import numpy as np
+import pytest
+import torch
+from torch import nn
+
+import jax
+import jax.numpy as jnp
+
+from pillarnet_lts_tpu.models.builder import build_detector
+from pillarnet_lts_tpu.runtime.torch_convert import (
+    convert_state_dict,
+    expected_source_keys,
+    normalize_state_dict,
+)
+from pillarnet_lts_tpu.utils.config import Config
+
+# ---------------------------------------------------------------------------
+# torch emulation of the reference modules (dense; reference naming)
+# ---------------------------------------------------------------------------
+
+BN_KW = dict(momentum=0.01, eps=1e-3)
+
+
+def _conv3(ci, co, stride=1, bias=True):
+    return nn.Conv2d(ci, co, 3, stride=stride, padding=1, bias=bias)
+
+
+def _bn(c):
+    return nn.BatchNorm2d(c, **BN_KW)
+
+
+class TBlockV(nn.Module):
+    """Sparse2DBasicBlockV (base.py:145-181), dense emulation."""
+
+    def __init__(self, c):
+        super().__init__()
+        self.conv0 = nn.Sequential(_conv3(c, c), _bn(c))
+        self.conv1 = nn.Sequential(_conv3(c, c), _bn(c), nn.ReLU())
+        self.conv2 = nn.Sequential(_conv3(c, c), _bn(c))
+
+    def forward(self, x):
+        x = self.conv0(x)
+        out = self.conv2(self.conv1(x))
+        return torch.relu(out + x)
+
+
+class TBlock(nn.Module):
+    """Sparse2DBasicBlock (base.py:184-215), dense emulation."""
+
+    def __init__(self, c):
+        super().__init__()
+        self.conv1 = nn.Sequential(_conv3(c, c), _bn(c), nn.ReLU())
+        self.conv2 = nn.Sequential(_conv3(c, c), _bn(c))
+
+    def forward(self, x):
+        out = self.conv2(self.conv1(x))
+        return torch.relu(out + x)
+
+
+class TBackbone18(nn.Module):
+    """PillarResNet18 (PillarResNet.py:75-147), dense emulation."""
+
+    def __init__(self, c):
+        super().__init__()
+        self.conv1 = nn.Sequential(TBlockV(c), TBlock(c))
+        self.conv2 = nn.Sequential(
+            _conv3(c, 2 * c, 2, bias=False), _bn(2 * c), nn.ReLU(),
+            TBlock(2 * c), TBlock(2 * c))
+        self.conv3 = nn.Sequential(
+            _conv3(2 * c, 4 * c, 2, bias=False), _bn(4 * c), nn.ReLU(),
+            TBlock(4 * c), TBlock(4 * c))
+        self.conv4 = nn.Sequential(
+            _conv3(4 * c, 8 * c, 2, bias=False), _bn(8 * c), nn.ReLU(),
+            TBlock(8 * c), TBlock(8 * c))
+        # dense conv5 (PillarResNet.py:110-117): post_act_block_dense twice
+        def dense_block(cc):  # post_act_block_dense: bias=False
+            return nn.Sequential(_conv3(cc, cc, bias=False), _bn(cc),
+                                 nn.ReLU())
+        self.conv5 = nn.Sequential(
+            _conv3(8 * c, 8 * c, 2, bias=False), _bn(8 * c), nn.ReLU(),
+            dense_block(8 * c), dense_block(8 * c))
+
+    def forward(self, x):
+        out = {}
+        out["conv1"] = x = self.conv1(x)
+        out["conv2"] = x = self.conv2(x)
+        out["conv3"] = x = self.conv3(x)
+        out["conv4"] = x = self.conv4(x)
+        out["conv5"] = self.conv5(x)
+        return out
+
+
+def _t_layer(ci, co, n, stride=1):
+    """RPN _build_layer (rpn.py:173-188): ZeroPad + conv + n convs."""
+    mods = [nn.ZeroPad2d(1), nn.Conv2d(ci, co, 3, stride=stride, bias=False),
+            _bn(co), nn.ReLU()]
+    for _ in range(n):
+        mods += [_conv3(co, co, bias=False), _bn(co), nn.ReLU()]
+    return nn.Sequential(*mods)
+
+
+class TRPNV1(nn.Module):
+    """RPNV1 (rpn.py:138-208), dense emulation."""
+
+    def __init__(self, layer_nums, in_channels, num_filters):
+        super().__init__()
+        self.block_5 = _t_layer(in_channels[0], in_channels[0], layer_nums[0])
+        self.deblock_5 = nn.Sequential(
+            nn.ConvTranspose2d(in_channels[0], in_channels[1], 2, stride=2,
+                               bias=False),
+            _bn(in_channels[1]), nn.ReLU())
+        self.block_4 = _t_layer(in_channels[1] * 2, num_filters,
+                                layer_nums[1])
+
+    def forward(self, feats):
+        x = self.block_5(feats["conv5"])
+        x = torch.cat([feats["conv4"], self.deblock_5(x)], dim=1)
+        return self.block_4(x)
+
+
+class TSepHead(nn.Module):
+    """SepHead (center_head.py:14-51), dense emulation (num_conv=2)."""
+
+    def __init__(self, c, heads, head_conv=64):
+        super().__init__()
+        self.head_names = list(heads)
+        for name, (classes, num_conv) in heads.items():
+            mods = []
+            for _ in range(num_conv - 1):
+                mods += [nn.Conv2d(c, head_conv, 3, padding=1, bias=True),
+                         _bn(head_conv), nn.ReLU()]
+            mods.append(nn.Conv2d(head_conv, classes, 3, padding=1,
+                                  bias=True))
+            setattr(self, name, nn.Sequential(*mods))
+
+    def forward(self, x):
+        return {h: getattr(self, h)(x) for h in self.head_names}
+
+
+class TCenterHead(nn.Module):
+    """CenterHead (center_head.py:55-126), dense emulation."""
+
+    def __init__(self, in_channels, tasks, common_heads, share_channel=64):
+        super().__init__()
+        self.share_convs = nn.ModuleList([
+            nn.Sequential(nn.Conv2d(c, share_channel, 3, padding=1,
+                                    bias=True),
+                          _bn(share_channel), nn.ReLU())
+            for c in in_channels
+        ])
+        self.task_heads = nn.ModuleList()
+        for t in tasks:
+            heads = dict(common_heads)
+            heads["hm"] = (len(t["class_names"]), 2)
+            self.task_heads.append(TSepHead(share_channel, heads))
+
+    def forward(self, xs):
+        shared = [sc(x) for sc, x in zip(self.share_convs, xs)]
+        return [th(shared[0]) for th in self.task_heads]
+
+
+class TReader(nn.Module):
+    """DynamicPFE's learnable part (pillar_modules.py:22-33)."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        mlp = nn.Module()
+        mlp.shared_mlps = nn.Sequential(
+            nn.Linear(cin, cout, bias=False),
+            nn.BatchNorm1d(cout, **BN_KW), nn.ReLU())
+        self.pfn_layers = mlp
+
+
+class TRefModel(nn.Module):
+    """Full reference-named model matching configs/demo/pillarnet18_demo."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        c = cfg.model["backbone"]["in_channels"]
+        self.reader = TReader(2 + cfg.model["reader"]["in_channels"],
+                              cfg.model["reader"]["num_filters"][0])
+        self.backbone = TBackbone18(c)
+        n = cfg.model["neck"]
+        self.neck = TRPNV1(n["layer_nums"], n["in_channels"],
+                           n["num_filters"])
+        h = cfg.model["bbox_head"]
+        self.bbox_head = TCenterHead(h["in_channels"], h["tasks"],
+                                     h["common_heads"])
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+_SPCONV_2D = "spconv"  # marker
+
+
+def _randomize_bn_stats(model, rng):
+    for m in model.modules():
+        if isinstance(m, (nn.BatchNorm1d, nn.BatchNorm2d)):
+            m.running_mean.copy_(torch.tensor(
+                rng.randn(*m.running_mean.shape).astype(np.float32)) * 0.3)
+            m.running_var.copy_(torch.tensor(
+                np.abs(rng.randn(*m.running_var.shape)).astype(np.float32))
+                + 0.7)
+            if m.weight is not None:
+                m.weight.data.copy_(torch.tensor(
+                    rng.randn(*m.weight.shape).astype(np.float32)) * 0.4
+                    + 1.0)
+                m.bias.data.copy_(torch.tensor(
+                    rng.randn(*m.bias.shape).astype(np.float32)) * 0.2)
+
+
+def _export_spconv_krsc(sd):
+    """Re-layout backbone sparse-conv weights OIHW -> spconv-2.x KRSC,
+    as a real reference checkpoint stores them (everything under
+    `backbone.` except the dense conv5)."""
+    out = {}
+    for k, v in sd.items():
+        if (k.startswith("backbone.") and not k.startswith("backbone.conv5")
+                and k.endswith(".weight") and v.ndim == 4):
+            v = v.permute(0, 2, 3, 1).contiguous()  # OIHW -> (O, kh, kw, I)
+        out[k] = v
+    return out
+
+
+def _demo_model_and_template():
+    cfg = Config.fromfile("configs/demo/pillarnet18_demo.py")
+    model = build_detector(cfg.model)
+    pts = jnp.zeros((1, 32, 5), jnp.float32)
+    msk = jnp.ones((1, 32), bool)
+    variables = model.init(jax.random.PRNGKey(0), pts, msk, train=False)
+    return cfg, model, variables
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("cfg_path", [
+    "configs/pillarnet/pillarnet34_nusc.py",
+    "configs/pillarnet/pillarnet18_waymo.py",
+    "configs/pillarnet/pillarnet34_fpn_waymo.py",
+    "configs/pillarnet/pillarnet18_s4_waymo.py",
+])
+def test_structural_full_tree(cfg_path):
+    """Every leaf of every zoo variant gets exactly one source key."""
+    cfg = Config.fromfile(cfg_path)
+    model = build_detector(cfg.model)
+
+    def init_fn():
+        pts = jnp.zeros((1, 8, 5), jnp.float32)
+        msk = jnp.ones((1, 8), bool)
+        return model.init(jax.random.PRNGKey(0), pts, msk, train=False)
+
+    tmpl = jax.eval_shape(init_fn)
+    exp = expected_source_keys(tmpl)
+    rng = np.random.RandomState(0)
+    sd = {k: rng.randn(*s).astype(np.float32) for _, (k, s) in exp.items()}
+    for k in sd:
+        if k.endswith("running_var"):
+            sd[k] = np.abs(sd[k]) + 0.5
+    out, rep = convert_state_dict(sd, tmpl, strict=True)
+    n_leaves = len(jax.tree_util.tree_leaves(tmpl))
+    assert len(rep["converted"]) == n_leaves
+    assert not rep["unused"]
+    # every converted leaf actually is a concrete array of the right shape
+    for (path, leaf), (_, tleaf) in zip(
+        jax.tree_util.tree_flatten_with_path(out)[0],
+        jax.tree_util.tree_flatten_with_path(tmpl)[0],
+    ):
+        assert isinstance(leaf, np.ndarray)
+        assert leaf.shape == tleaf.shape
+
+
+def test_full_model_numeric_parity():
+    """torch dense-reference forward == ours after conversion (all-active
+    grid, eval mode, randomized BN stats)."""
+    torch.manual_seed(0)
+    rng = np.random.RandomState(1)
+    cfg, model, variables = _demo_model_and_template()
+
+    tmodel = TRefModel(cfg)
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+    tmodel.eval()
+    sd = _export_spconv_krsc(tmodel.state_dict())
+
+    converted, rep = convert_state_dict(sd, variables, strict=True)
+    assert not rep["missing"] and not rep["unmapped"]
+    assert not rep["unused"], rep["unused"][:8]
+
+    h = w = 64  # demo grid: 32 m / 0.5 m
+    c = cfg.model["reader"]["num_filters"][0]
+    grid_np = rng.randn(1, h, w, c).astype(np.float32)
+    occ_np = np.ones((1, h, w), bool)
+
+    def run_net(m, grid, occ):
+        feats = m.backbone_net(grid, occ, train=False)
+        bev = m.neck_net(feats, train=False)
+        return m.head_net(bev, train=False)
+
+    preds = model.apply(
+        converted, jnp.asarray(grid_np), jnp.asarray(occ_np),
+        method=run_net)
+
+    with torch.no_grad():
+        tin = torch.tensor(np.transpose(grid_np, (0, 3, 1, 2)))
+        tfeats = tmodel.backbone(tin)
+        tbev = tmodel.neck(tfeats)
+        tpreds = tmodel.bbox_head([tbev])
+
+    assert len(preds) == len(tpreds)
+    for ours_t, ref_t in zip(preds, tpreds):
+        for name, ref in ref_t.items():
+            got = np.asarray(ours_t[name])
+            want = np.transpose(ref.numpy(), (0, 2, 3, 1))
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4,
+                                       err_msg=name)
+
+
+def test_reader_mlp_numeric():
+    """Linear+BN1d reader MLP: torch eval forward == converted math."""
+    torch.manual_seed(2)
+    rng = np.random.RandomState(3)
+    cfg, model, variables = _demo_model_and_template()
+    tmodel = TRefModel(cfg)
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+    tmodel.eval()
+    sd = _export_spconv_krsc(tmodel.state_dict())
+    converted, _ = convert_state_dict(sd, variables, strict=True)
+
+    x = rng.randn(50, 7).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel.reader.pfn_layers.shared_mlps(torch.tensor(x)).numpy()
+
+    p = converted["params"]["reader_net"]
+    s = converted["batch_stats"]["reader_net"]
+    y = x @ p["pfn_dense_0"]["kernel"]
+    y = (y - s["pfn_bn_0"]["mean"]) / np.sqrt(s["pfn_bn_0"]["var"] + 1e-3)
+    y = np.maximum(y * p["pfn_bn_0"]["scale"] + p["pfn_bn_0"]["bias"], 0.0)
+    np.testing.assert_allclose(y, want, rtol=1e-5, atol=1e-5)
+
+
+def test_spconv_rsck_autodetect():
+    """A spconv-1.x (RSCK) checkpoint converts identically — layout is
+    auto-detected from the width-changing down convs."""
+    torch.manual_seed(4)
+    rng = np.random.RandomState(5)
+    cfg, model, variables = _demo_model_and_template()
+    tmodel = TRefModel(cfg)
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+    sd_oihw = tmodel.state_dict()
+
+    def relayout(perm):
+        out = {}
+        for k, v in sd_oihw.items():
+            if (k.startswith("backbone.")
+                    and not k.startswith("backbone.conv5")
+                    and k.endswith(".weight") and v.ndim == 4):
+                v = v.permute(*perm).contiguous()
+            out[k] = v
+        return out
+
+    krsc, _ = convert_state_dict(relayout((0, 2, 3, 1)), variables,
+                                 strict=True)
+    rsck, _ = convert_state_dict(relayout((2, 3, 1, 0)), variables,
+                                 strict=True, spconv_layout="RSCK")
+    for a, b in zip(jax.tree_util.tree_leaves(krsc),
+                    jax.tree_util.tree_leaves(rsck)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_convtranspose_numeric_pin():
+    """torch ConvTranspose2d(k=2, s=2) == flax ConvTranspose with the
+    flipped-transposed kernel, bitwise."""
+    from flax import linen as fnn
+    from pillarnet_lts_tpu.runtime.torch_convert import _t_convT
+
+    torch.manual_seed(7)
+    tconv = nn.ConvTranspose2d(3, 5, 2, stride=2, bias=False)
+    x = np.random.RandomState(7).randn(1, 3, 4, 4).astype(np.float32)
+    with torch.no_grad():
+        want = tconv(torch.tensor(x)).numpy()
+    kern = _t_convT(tconv.weight.detach().numpy())
+    mod = fnn.ConvTranspose(5, (2, 2), strides=(2, 2), use_bias=False)
+    got = mod.apply({"params": {"kernel": jnp.asarray(kern)}},
+                    jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_array_equal(
+        np.transpose(np.asarray(got), (0, 3, 1, 2)), want)
+
+
+def test_normalize_state_dict_wrappers():
+    """det3d save format: {'state_dict': ...} + DDP 'module.' prefixes."""
+    sd = {"state_dict": {"module.backbone.conv1.0.conv0.0.weight":
+                         torch.zeros(4, 3, 3, 4)},
+          "meta": None}
+    flat = normalize_state_dict(sd)
+    assert list(flat) == ["backbone.conv1.0.conv0.0.weight"]
+    assert isinstance(flat["backbone.conv1.0.conv0.0.weight"], np.ndarray)
+
+
+@pytest.mark.slow
+def test_cli_roundtrip(tmp_path):
+    """tools/convert_torch.py: .pth -> orbax dir -> load_pretrained."""
+    import subprocess
+    import sys
+
+    torch.manual_seed(11)
+    rng = np.random.RandomState(11)
+    cfg, model, variables = _demo_model_and_template()
+    tmodel = TRefModel(cfg)
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, rng)
+    sd = _export_spconv_krsc(tmodel.state_dict())
+    pth = tmp_path / "ref.pth"
+    # det3d save format: wrapped state_dict (checkpoint.py:save_checkpoint)
+    torch.save({"state_dict": sd, "meta": {"epoch": 20}}, pth)
+
+    out = tmp_path / "converted"
+    import os as _os
+    env = {**_os.environ, "JAX_PLATFORMS": "cpu"}
+    res = subprocess.run(
+        [sys.executable, "tools/convert_torch.py",
+         "configs/demo/pillarnet18_demo.py", "--ckpt", str(pth),
+         "--out", str(out)],
+        capture_output=True, text=True, env=env)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "0 missing, 0 unmapped, 0 unused" in res.stdout
+
+    from pillarnet_lts_tpu.runtime.checkpoint import load_pretrained
+    merged, report = load_pretrained(variables, str(out))
+    assert not report["missing"] and not report["shape_mismatch"]
+    want, _ = convert_state_dict(sd, variables, strict=True)
+    for a, b in zip(jax.tree_util.tree_leaves(merged),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_strict_reports_missing_and_unmapped():
+    cfg, model, variables = _demo_model_and_template()
+    with pytest.raises(KeyError, match="missing a source key"):
+        convert_state_dict({}, variables, strict=True)
+    out, rep = convert_state_dict({}, variables, strict=False)
+    assert rep["missing"]
+    # non-strict keeps the initialized values
+    a = jax.tree_util.tree_leaves(out)[0]
+    b = jax.tree_util.tree_leaves(variables)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

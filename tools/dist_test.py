@@ -9,6 +9,7 @@ the middle third of the set.
 """
 
 import argparse
+import json
 import logging
 import os
 import pickle
@@ -80,7 +81,26 @@ def main():
     )
     tx = optimizer_from_cfg(cfg)
     state = TrainState.create(variables, tx)
-    state, meta = load_checkpoint(args.checkpoint, target_state=state)
+    # bare-variables checkpoints (e.g. tools/convert_torch.py output) carry
+    # no optimizer state — merge them into the fresh skeleton instead
+    meta_path = os.path.join(args.checkpoint, "meta.json")
+    is_bare = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            is_bare = json.load(f).get("format") == "variables"
+    if is_bare:
+        from pillarnet_lts_tpu.runtime.checkpoint import load_pretrained
+
+        merged, report = load_pretrained(variables, args.checkpoint,
+                                         logger=logger)
+        if report["missing"] or report["shape_mismatch"]:
+            raise ValueError(
+                f"checkpoint does not match {args.config}: "
+                f"{len(report['missing'])} missing, "
+                f"{len(report['shape_mismatch'])} shape-mismatched leaves")
+        state, meta = TrainState.create(merged, tx), None
+    else:
+        state, meta = load_checkpoint(args.checkpoint, target_state=state)
     state = replicate(state, mesh)
     logger.info("loaded checkpoint (epoch %s)", (meta or {}).get("epoch"))
 
