@@ -168,8 +168,8 @@ _BN_MAP = {
 }
 
 # transform tags; resolved in _apply (spconv needs per-checkpoint state)
-_LINEAR, _CONV, _CONVT, _SPCONV, _IDENT = (
-    "linear", "conv", "convT", "spconv", "ident",
+_LINEAR, _CONV, _CONVT, _SPCONV, _IDENT, _CONV1D = (
+    "linear", "conv", "convT", "spconv", "ident", "conv1d",
 )
 
 
@@ -343,21 +343,120 @@ def _head_rules(tree: Dict, rules):
                               f"{src_head}.{h}.{3 * int(i) + 1}", rules)
 
 
-def _build_rules(params: Dict, batch_stats: Dict):
-    """Rules keyed by our path *within a collection-merged view*."""
-    merged: Dict[str, Dict] = {}
+def _fc_stack_rules(our_prefix, src_prefix, tree: Dict, rules, kind,
+                    conv_idx, bn_idx, final_idx, leaf_prefix=""):
+    """Map our {fc{k}, bn{k}, out} stack onto a torch Sequential whose
+    layer indices are given by the conv_idx/bn_idx/final_idx callables
+    (index schemes differ across roi/point heads because of interleaved
+    Dropout modules)."""
+    n = sum(1 for k in tree if re.match(rf"{leaf_prefix}fc\d+$", k))
+    for name in tree:
+        if not name.startswith(leaf_prefix):
+            continue
+        tail = name[len(leaf_prefix):]
+        if re.match(r"fc\d+$", tail):
+            k = int(tail[2:])
+            rules.append((our_prefix + (name, "kernel"),
+                          _cands(src_prefix, conv_idx(k), "weight"), kind))
+        elif re.match(r"bn\d+$", tail):
+            k = int(tail[2:])
+            for leaf, tname in _BN_MAP.items():
+                rules.append((our_prefix + (name, leaf),
+                              _cands(src_prefix, bn_idx(k), tname), _IDENT))
+        elif tail == "out":
+            rules.append((our_prefix + (name, "kernel"),
+                          _cands(src_prefix, final_idx(n), "weight"), kind))
+            rules.append((our_prefix + (name, "bias"),
+                          _cands(src_prefix, final_idx(n), "bias"), _IDENT))
 
-    def merge(dst, src):
-        for k, v in src.items():
-            if isinstance(v, dict):
-                merge(dst.setdefault(k, {}), v)
-            else:
-                dst[k] = v
 
-    for col in (params, batch_stats):
-        merge(merged, col or {})
+def _cands(prefix, idxs, leaf):
+    """One source key, or a tuple of candidates (first present wins)."""
+    idxs = idxs if isinstance(idxs, (list, tuple)) else [idxs]
+    keys = tuple(f"{prefix}.{i}.{leaf}" for i in idxs)
+    return keys[0] if len(keys) == 1 else keys
 
-    rules: List[Tuple[Tuple[str, ...], str, str]] = []
+
+def _roi_head_rules(tree: Dict, rules):
+    """RoIHead (`det3d/models/roi_heads/roi_head.py:15-48`,
+    `roi_head_template.py:23-39`): Conv1d(k=1) stacks with interleaved
+    Dropout.  shared_fc has a dropout after every non-final layer when
+    DP_RATIO > 0 (conv at 4k) and none otherwise (conv at 3k) — both index
+    schemes are tried.  cls/reg always drop out after layer 0 only
+    (`DP_RATIO >= 0`), so conv k is at 0 / 3k+1 and the final conv at
+    3n+1."""
+    if "shared_fc" in tree:
+        _fc_stack_rules(
+            ("roi_head_net", "shared_fc"), "roi_head.shared_fc_layer",
+            tree["shared_fc"], rules, _CONV1D,
+            conv_idx=lambda k: [4 * k, 3 * k],
+            bn_idx=lambda k: [4 * k + 1, 3 * k + 1],
+            final_idx=lambda n: [],  # shared_fc has no final projection
+        )
+    for branch, src in (("cls", "roi_head.cls_layers"),
+                        ("reg", "roi_head.reg_layers")):
+        if branch in tree:
+            _fc_stack_rules(
+                ("roi_head_net", branch), src, tree[branch], rules, _CONV1D,
+                conv_idx=lambda k: 0 if k == 0 else 3 * k + 1,
+                bn_idx=lambda k: 1 if k == 0 else 3 * k + 2,
+                final_idx=lambda n: 3 * n + 1,
+            )
+
+
+def _point_head_rules(tree: Dict, rules):
+    """PointHead (`point_head_simple.py:14-22`,
+    `point_head_template.py:37-49`): Linear stacks, no dropout."""
+    _fc_stack_rules(
+        ("point_head_net",), "point_head.cls_layers", tree, rules, _LINEAR,
+        conv_idx=lambda k: 3 * k,
+        bn_idx=lambda k: 3 * k + 1,
+        final_idx=lambda n: 3 * n,
+        leaf_prefix="cls_",
+    )
+
+
+def _second_stage_rules(idx: int, tree: Dict, rules):
+    """BEVFeature / BEVStrideFeature (`bev_interpolation.py:18-90,162-230`).
+
+    Reference lat convs are indexed by feature_sources order; our tree names
+    them lat_{src}.  Sources are assigned indices in ascending conv order
+    (how every shipped config lists them).  Dense laterals are
+    ConvTranspose2d (bias-free); the sparse downsample lateral is a
+    SparseConv2d with bias — distinguished here by bias presence."""
+    src_base = f"second_stage.{idx}"
+    lat_srcs = sorted(
+        k[len("lat_"):] for k in tree
+        if re.match(r"lat_conv\d$", k)
+    )
+    for name in tree:
+        our = (f"second_stage_{idx}", name)
+        if name == "top_down_conv":
+            rules.append((our + ("kernel",),
+                          f"{src_base}.top_down_conv.0.weight", _CONVT))
+        elif name == "top_down_bn":
+            _bn_rules(our, f"{src_base}.top_down_conv.1", rules)
+        elif re.match(r"lat_conv\d$", name):
+            k = lat_srcs.index(name[len("lat_"):])
+            is_sparse = isinstance(tree[name], dict) and "bias" in tree[name]
+            kind = _SPCONV if is_sparse else _CONVT
+            rules.append((our + ("kernel",),
+                          f"{src_base}.lat_conv.{k}.0.weight", kind))
+            if is_sparse:
+                rules.append((our + ("bias",),
+                              f"{src_base}.lat_conv.{k}.0.bias", _IDENT))
+        elif re.match(r"lat_bn_conv\d$", name):
+            k = lat_srcs.index(name[len("lat_bn_"):])
+            _bn_rules(our, f"{src_base}.lat_conv.{k}.1", rules)
+        elif name == "fusion_conv":
+            _conv_rules(our, f"{src_base}.fusion_conv.0", rules, _CONV)
+        elif name == "fusion_bn":
+            _bn_rules(our, f"{src_base}.fusion_conv.1", rules)
+
+
+def _detector_rules(merged: Dict):
+    """Rules for one (single-stage) detector subtree."""
+    rules: List[Tuple[Tuple[str, ...], Any, str]] = []
     for top, sub in merged.items():
         if top == "reader_net":
             _reader_rules(sub, rules)
@@ -375,6 +474,42 @@ def _build_rules(params: Dict, batch_stats: Dict):
                 _neck_rules(sub, rules)
         elif top == "head_net":
             _head_rules(sub, rules)
+        elif top == "roi_head_net":
+            _roi_head_rules(sub, rules)
+        elif top == "point_head_net":
+            _point_head_rules(sub, rules)
+        elif re.match(r"second_stage_\d+$", top):
+            _second_stage_rules(int(top.rsplit("_", 1)[1]), sub, rules)
+    return rules
+
+
+def _build_rules(params: Dict, batch_stats: Dict):
+    """Rules keyed by our path *within a collection-merged view*."""
+    merged: Dict[str, Dict] = {}
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                merge(dst.setdefault(k, {}), v)
+            else:
+                dst[k] = v
+
+    for col in (params, batch_stats):
+        merge(merged, col or {})
+
+    rules = _detector_rules(merged)
+    if "single_det" in merged:
+        # PillarRCNN nests a full first-stage detector under single_det
+        # (`det3d/models/detectors/pillar_rcnn.py:18`)
+        def _prefix_src(src):
+            if isinstance(src, tuple):
+                return tuple(f"single_det.{s}" for s in src)
+            return f"single_det.{src}"
+
+        rules += [
+            (("single_det",) + path, _prefix_src(src), kind)
+            for path, src, kind in _detector_rules(merged["single_det"])
+        ]
     return rules, merged
 
 
@@ -421,6 +556,8 @@ def expected_source_keys(variables, spconv_layout: str = "KRSC"):
         shape = tuple(leaf.shape)
         if kind == _LINEAR:
             src_shape = (shape[1], shape[0])
+        elif kind == _CONV1D:
+            src_shape = (shape[1], shape[0], 1)
         elif kind == _CONV:
             kh, kw, ci, co = shape
             src_shape = (co, ci, kh, kw)
@@ -431,6 +568,8 @@ def expected_source_keys(variables, spconv_layout: str = "KRSC"):
             src_shape = layout.src_shape(shape)
         else:
             src_shape = shape
+        if isinstance(src_key, tuple):
+            src_key = src_key[0]
         out[(col,) + our_path] = (src_key, src_shape)
     return out
 
@@ -459,8 +598,19 @@ def convert_state_dict(state_dict, variables, strict: bool = True,
     rules, _ = _build_rules(params, stats)
     layout = _SpconvLayout(spconv_layout)
 
+    def _resolve(src_key):
+        """First present candidate (rules may carry alternates for torch
+        Sequential index schemes that depend on config, e.g. dropout)."""
+        if isinstance(src_key, tuple):
+            for k in src_key:
+                if k in state_dict:
+                    return k
+            return src_key[0]
+        return src_key
+
     # pre-pass: lock the spconv layout from any width-changing spconv conv
     for our_path, src_key, kind in rules:
+        src_key = _resolve(src_key)
         if kind != _SPCONV or src_key not in state_dict:
             continue
         leaf = _tree_get(params, our_path)
@@ -476,6 +626,7 @@ def convert_state_dict(state_dict, variables, strict: bool = True,
         return val.astype(dtype) if dtype is not None else val
 
     for our_path, src_key, kind in rules:
+        src_key = _resolve(src_key)
         leaf, col, dst = _tree_get(params, our_path), "params", new_params
         if leaf is None:
             leaf, col, dst = _tree_get(stats, our_path), "batch_stats", new_stats
@@ -487,6 +638,8 @@ def convert_state_dict(state_dict, variables, strict: bool = True,
         w = state_dict[src_key]
         if kind == _LINEAR:
             w = _t_linear(w)
+        elif kind == _CONV1D:
+            w = np.transpose(w[..., 0], (1, 0))  # (O, I, 1) -> (I, O)
         elif kind == _CONV:
             w = _t_conv(w)
         elif kind == _CONVT:

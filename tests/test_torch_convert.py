@@ -390,6 +390,108 @@ def test_spconv_rsck_autodetect():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def _rcnn_template():
+    cfg = Config.fromfile("configs/pillarrcnn/pillarrcnn18_waymo.py")
+    model = build_detector(cfg.model, train_cfg=cfg.train_cfg,
+                           test_cfg=cfg.test_cfg)
+
+    def init_fn():
+        pts = jnp.zeros((1, 64, 5), jnp.float32)
+        msk = jnp.ones((1, 64), bool)
+        gt = jnp.zeros((1, 8, 10), jnp.float32)
+        return model.init(
+            {"params": jax.random.PRNGKey(0),
+             "sampler": jax.random.PRNGKey(1)},
+            pts, msk, gt, train=True)
+
+    return cfg, jax.eval_shape(init_fn)
+
+
+def test_structural_pillar_rcnn():
+    """Two-stage PillarRCNN: single_det prefix + roi/point/second-stage
+    rules cover the whole tree."""
+    _, tmpl = _rcnn_template()
+    exp = expected_source_keys(tmpl)
+    rng = np.random.RandomState(0)
+    sd = {k: rng.randn(*s).astype(np.float32) for _, (k, s) in exp.items()}
+    for k in sd:
+        if k.endswith("running_var"):
+            sd[k] = np.abs(sd[k]) + 0.5
+    out, rep = convert_state_dict(sd, tmpl, strict=True)
+    assert len(rep["converted"]) == len(jax.tree_util.tree_leaves(tmpl))
+    assert not rep["unused"]
+    # spot-check prefixes actually landed where a reference checkpoint
+    # stores them (pillar_rcnn.py:18 nests the first stage as single_det)
+    assert any(k.startswith("single_det.backbone.conv1.0.conv0.0.weight")
+               for k in rep["converted"])
+    assert any(k.startswith("roi_head.shared_fc_layer.")
+               for k in rep["converted"])
+    assert any(k.startswith("second_stage.0.fusion_conv.")
+               for k in rep["converted"])
+
+
+def test_roi_head_fc_numeric():
+    """RoIHead Conv1d stack (reference indices with the always-present
+    dropout after layer 0): torch eval forward == converted math."""
+    torch.manual_seed(9)
+    rng = np.random.RandomState(9)
+    _, tmpl = _rcnn_template()
+    exp = expected_source_keys(tmpl)
+
+    # torch cls branch: Conv1d, BN, ReLU, Dropout, Conv1d, BN, ReLU, final
+    cin = tmpl["params"]["roi_head_net"]["cls"]["fc0"]["kernel"].shape[0]
+    cls_layers = nn.Sequential(
+        nn.Conv1d(cin, 256, 1, bias=False), nn.BatchNorm1d(256, **BN_KW),
+        nn.ReLU(), nn.Dropout(0.3),
+        nn.Conv1d(256, 256, 1, bias=False), nn.BatchNorm1d(256, **BN_KW),
+        nn.ReLU(),
+        nn.Conv1d(256, 1, 1, bias=True))
+    with torch.no_grad():
+        _randomize_bn_stats(cls_layers, rng)
+    cls_layers.eval()
+
+    sd = {k: rng.randn(*s).astype(np.float32) for _, (k, s) in exp.items()}
+    for k in sd:
+        if k.endswith("running_var"):
+            sd[k] = np.abs(sd[k]) + 0.5
+    for k, v in cls_layers.state_dict().items():
+        sd[f"roi_head.cls_layers.{k}"] = v.numpy()
+    converted, _ = convert_state_dict(sd, tmpl, strict=True)
+
+    x = rng.randn(5, cin).astype(np.float32)
+    with torch.no_grad():
+        want = cls_layers(torch.tensor(x)[:, :, None])[:, :, 0].numpy()
+
+    p = converted["params"]["roi_head_net"]["cls"]
+    s = converted["batch_stats"]["roi_head_net"]["cls"]
+
+    def bn(y, i):
+        return ((y - s[f"bn{i}"]["mean"]) / np.sqrt(s[f"bn{i}"]["var"] + 1e-3)
+                * p[f"bn{i}"]["scale"] + p[f"bn{i}"]["bias"])
+
+    y = np.maximum(bn(x @ p["fc0"]["kernel"], 0), 0)
+    y = np.maximum(bn(y @ p["fc1"]["kernel"], 1), 0)
+    y = y @ p["out"]["kernel"] + p["out"]["bias"]
+    np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-5)
+
+
+def test_convtranspose_1x1_pin():
+    """1x1 stride-1 ConvTranspose2d (the second stage's pointwise
+    top-down/lateral convs) == a plain 1x1 conv with the I/O transpose."""
+    from pillarnet_lts_tpu.runtime.torch_convert import _t_convT
+
+    torch.manual_seed(10)
+    tconv = nn.ConvTranspose2d(6, 4, 1, stride=1, bias=False)
+    x = np.random.RandomState(10).randn(1, 6, 5, 5).astype(np.float32)
+    with torch.no_grad():
+        want = tconv(torch.tensor(x)).numpy()
+    kern = _t_convT(tconv.weight.detach().numpy())  # (1, 1, 6, 4)
+    got = np.einsum("bhwi,io->bhwo", np.transpose(x, (0, 2, 3, 1)),
+                    kern[0, 0])
+    np.testing.assert_allclose(
+        np.transpose(got, (0, 3, 1, 2)), want, rtol=1e-6, atol=1e-6)
+
+
 def test_convtranspose_numeric_pin():
     """torch ConvTranspose2d(k=2, s=2) == flax ConvTranspose with the
     flipped-transposed kernel, bitwise."""

@@ -57,13 +57,22 @@ def main():
     from pillarnet_lts_tpu.utils.config import Config
 
     cfg = Config.fromfile(args.config)
-    model = build_detector(cfg.model)
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, 32, cfg.model["reader"]["in_channels"]), jnp.float32),
-        jnp.ones((1, 32), bool),
-        train=False,
+    two_stage = cfg.model["type"] in ("PillarRCNN", "TwoStageDetector")
+    model = build_detector(
+        cfg.model,
+        train_cfg=cfg.get("train_cfg"), test_cfg=cfg.get("test_cfg"),
     )
+    reader_cfg = (cfg.model.get("first_stage_cfg") or cfg.model)["reader"]
+    pts = jnp.zeros((1, 32, reader_cfg["in_channels"]), jnp.float32)
+    msk = jnp.ones((1, 32), bool)
+    if two_stage:
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "sampler": jax.random.PRNGKey(1)},
+            pts, msk, jnp.zeros((1, 8, 10), jnp.float32), train=True,
+        )
+    else:
+        variables = model.init(jax.random.PRNGKey(0), pts, msk, train=False)
 
     state_dict = load_torch_state_dict(args.ckpt)
     converted, report = convert_state_dict(
