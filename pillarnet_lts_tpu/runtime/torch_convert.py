@@ -706,6 +706,44 @@ def _leaf_paths(tree, prefix=()):
         yield prefix
 
 
+def export_state_dict(variables, spconv_layout: str = "KRSC"):
+    """Inverse of :func:`convert_state_dict`: our variables -> a torch
+    state_dict in the reference's naming and weight layouts.
+
+    Round-trip safe: ``convert_state_dict(export_state_dict(v), v)``
+    reproduces every leaf bitwise (tested).  spconv weights are emitted in
+    the requested layout (KRSC = spconv 2.x, the reference's import).
+    """
+    params = variables.get("params", {})
+    stats = variables.get("batch_stats", {})
+    rules, _ = _build_rules(params, stats)
+    out: Dict[str, np.ndarray] = {}
+    for our_path, src_key, kind in rules:
+        leaf = _tree_get(params, our_path)
+        if leaf is None:
+            leaf = _tree_get(stats, our_path)
+        if leaf is None:
+            continue
+        if isinstance(src_key, tuple):
+            src_key = src_key[0]
+        w = np.asarray(leaf, dtype=np.float32)
+        if kind == _LINEAR:
+            w = np.transpose(w, (1, 0))
+        elif kind == _CONV1D:
+            w = np.transpose(w, (1, 0))[:, :, None]
+        elif kind == _CONV:
+            w = np.transpose(w, (3, 2, 0, 1))
+        elif kind == _CONVT:
+            w = np.transpose(
+                np.ascontiguousarray(w[::-1, ::-1]), (2, 3, 0, 1))
+        elif kind == _SPCONV:
+            if spconv_layout == "KRSC":
+                w = np.transpose(w, (3, 0, 1, 2))
+            # RSCK == our HWIO, no transform
+        out[src_key] = np.ascontiguousarray(w)
+    return out
+
+
 def _merge_with_template(template, converted):
     """Converted leaves win; untouched template leaves pass through."""
     if not isinstance(template, dict):

@@ -558,6 +558,35 @@ def test_cli_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_export_roundtrip():
+    """export_state_dict is the exact inverse: convert(export(v)) == v
+    bitwise, and the emitted keys match a real reference checkpoint's."""
+    from pillarnet_lts_tpu.runtime.torch_convert import export_state_dict
+
+    cfg, model, variables = _demo_model_and_template()
+    host = jax.device_get(variables)
+    sd = export_state_dict(host)
+    exp = expected_source_keys(host)
+    assert set(sd) == {k for k, _ in exp.values()}
+    back, rep = convert_state_dict(sd, host, strict=True)
+    assert not rep["unused"]
+    for a, b in zip(jax.tree_util.tree_leaves(back),
+                    jax.tree_util.tree_leaves(host)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # torch side loads it without key complaints (dense emulation model)
+    tmodel = TRefModel(cfg)
+    tsd = {k: torch.from_numpy(v) for k, v in sd.items()}
+    # de-spconv the backbone weights for the dense emulation (KRSC -> OIHW)
+    for k in list(tsd):
+        if (k.startswith("backbone.") and not k.startswith("backbone.conv5")
+                and k.endswith(".weight") and tsd[k].ndim == 4):
+            tsd[k] = tsd[k].permute(0, 3, 1, 2).contiguous()
+    missing, unexpected = tmodel.load_state_dict(tsd, strict=False)
+    assert not unexpected
+    assert all(m.endswith("num_batches_tracked") for m in missing)
+
+
 def test_strict_reports_missing_and_unmapped():
     cfg, model, variables = _demo_model_and_template()
     with pytest.raises(KeyError, match="missing a source key"):
