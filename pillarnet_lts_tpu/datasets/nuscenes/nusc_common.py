@@ -213,9 +213,15 @@ def create_nuscenes_infos(root_path, version="v1.0-trainval", nsweeps=10,
             ]
             locs = np.array([b.center for b in ref_boxes]).reshape(-1, 3)
             dims = np.array([b.wlh for b in ref_boxes]).reshape(-1, 3)
+            # box_velocity is global-frame; rotate into the lidar frame the
+            # way the reference does by transforming box.velocity along with
+            # the box (`nusc_common.py:260-270,497`): v_ref = R_cs^-1 @
+            # R_pose^-1 @ v_global. Regression targets and AVE are
+            # lidar-frame quantities.
+            rot_ref = ref_from_car[:3, :3] @ car_from_global[:3, :3]
             velocity = np.array(
-                [nusc.box_velocity(t)[:2] for t in sample["anns"]]
-            ).reshape(-1, 2)
+                [nusc.box_velocity(t) for t in sample["anns"]]
+            ).reshape(-1, 3) @ rot_ref.T
             rots = np.array(
                 [_quaternion_yaw(b.orientation) for b in ref_boxes]
             ).reshape(-1, 1)
@@ -223,23 +229,33 @@ def create_nuscenes_infos(root_path, version="v1.0-trainval", nsweeps=10,
             tokens = np.array([b.token for b in ref_boxes])
             # det3d 9-dim layout: x, y, z, w, l, h, vx, vy, -yaw - pi/2
             gt_boxes = np.concatenate(
-                [locs, dims, velocity, -rots - np.pi / 2], axis=1
+                [locs, dims, velocity[:, :2], -rots - np.pi / 2], axis=1
             )
             mapped = np.array(
                 [general_to_detection.get(n, n) for n in names]
             )
-            num_lidar_pts = np.array(
-                [a["num_lidar_pts"] for a in annotations]
+            num_pts = np.array(
+                [a["num_lidar_pts"] + a["num_radar_pts"]
+                 for a in annotations]
             )
             mask = np.ones(len(ref_boxes), bool)
             if filter_zero:
-                mask = (num_lidar_pts > 0) & (mapped != "ignore")
+                # reference keeps boxes seen by lidar OR radar
+                # (`nusc_common.py:492`)
+                mask = num_pts > 0
+            # attribute names (additive field beyond the reference layout):
+            # feeds the native evaluator's AAE (`nusc_eval.py`); absent in
+            # reference-created pkls, where AAE degrades gracefully
+            attrs = np.array([
+                nusc.get("attribute", a["attribute_tokens"][0])["name"]
+                if a["attribute_tokens"] else ""
+                for a in annotations
+            ])
             info["gt_boxes"] = gt_boxes[mask]
-            info["gt_boxes_velocity"] = np.concatenate(
-                [velocity, np.zeros((velocity.shape[0], 1))], axis=1
-            )[mask]
+            info["gt_boxes_velocity"] = velocity[mask]
             info["gt_names"] = mapped[mask]
             info["gt_boxes_token"] = tokens[mask]
+            info["gt_attributes"] = attrs[mask]
 
         if sample["scene_token"] in train_tokens:
             train_infos.append(info)

@@ -118,10 +118,52 @@ class NuScenesDataset(PointCloudDataset):
         data, _ = self.pipeline(res, info)
         return data
 
+    def evaluation_native(self, detections, output_dir=None, testset=False):
+        """Devkit-free mAP/NDS via the native detection_cvpr_2019
+        implementation (`datasets/nuscenes/nusc_eval.py`): evaluates in the
+        lidar frame straight from the info pkls — no raw nuScenes tables or
+        nuscenes-devkit needed."""
+        from .nusc_eval import (
+            evaluate_nusc, gt_from_infos, preds_from_detections)
+
+        if testset:
+            return None, None
+        mapped_class_names = [
+            self._name_mapping.get(n, n) for n in self._class_names
+        ]
+        gt = gt_from_infos(self._nusc_infos)
+        pred = preds_from_detections(detections, mapped_class_names)
+        metrics = evaluate_nusc(gt, pred, verbose=False)
+
+        detail = {}
+        result = "Nusc (native eval) Evaluation\n"
+        for cname in mapped_class_names:
+            aps = metrics["label_aps"].get(cname)
+            if aps is None:
+                continue
+            detail[cname] = {f"dist@{k}": v for k, v in aps.items()}
+            result += f"{cname}: mean AP {np.mean(list(aps.values())):.4f}\n"
+        result += (f"mAP: {metrics['mean_ap']:.4f}  "
+                   f"NDS: {metrics['nd_score']:.4f}\n")
+        if output_dir:
+            with open(Path(output_dir) / "metrics_summary.json", "w") as f:
+                json.dump(
+                    {k: metrics[k] for k in
+                     ("mean_ap", "nd_score", "label_aps", "tp_errors")},
+                    f, default=float)
+        return {"results": {"nusc": result}, "detail": {"nusc": detail}}, None
+
     def evaluation(self, detections, output_dir=None, testset=False):
         """Export detections to nuScenes json and run the official eval
         (`nuscenes.py:188-327`). `detections` maps sample token -> dict with
-        box3d_lidar / scores / label_preds (+metadata)."""
+        box3d_lidar / scores / label_preds (+metadata). Falls back to the
+        native evaluator when the nuscenes-devkit is not installed."""
+        try:
+            from nuscenes import NuScenes  # noqa: F811
+        except ImportError:
+            print("nuscenes-devkit not installed: using the native "
+                  "detection_cvpr_2019 evaluator")
+            return self.evaluation_native(detections, output_dir, testset)
         from nuscenes import NuScenes
         from nuscenes.eval.detection.config import config_factory  # noqa: F401
 

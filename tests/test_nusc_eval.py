@@ -1,0 +1,274 @@
+"""Native nuScenes detection metrics (datasets/nuscenes/nusc_eval.py)
+against hand-computed oracles of the official detection_cvpr_2019 protocol
+(center-distance matching, 101-point interpolated AP with min
+recall/precision 0.1, TP errors at the 2 m threshold, NDS)."""
+
+import numpy as np
+import pytest
+
+from pillarnet_lts_tpu.datasets.nuscenes.nusc_eval import (
+    DETECTION_CVPR_2019,
+    accumulate,
+    calc_ap,
+    calc_tp,
+    evaluate_nusc,
+    gt_from_infos,
+    preds_from_detections,
+)
+
+
+def B(x, y, name, score=None, yaw=0.0, size=(2.0, 4.0, 1.5),
+      vel=(0.0, 0.0), attr=""):
+    return {
+        "translation": np.array([x, y, 0.0]),
+        "size": np.array(size),
+        "yaw": float(yaw),
+        "velocity": np.array(vel),
+        "name": name,
+        "score": score,
+        "attribute": attr,
+    }
+
+
+def test_perfect_detections_score_one():
+    """Exact matches at every GT -> mAP 1, all TP errors 0, NDS 1."""
+    gt, pred = {}, {}
+    rng = np.random.RandomState(0)
+    for s in range(4):
+        rows = [B(rng.uniform(-30, 30), rng.uniform(-30, 30), "car",
+                  yaw=rng.uniform(-3, 3), vel=tuple(rng.randn(2)),
+                  attr="vehicle.moving")
+                for _ in range(5)]
+        gt[f"s{s}"] = rows
+        pred[f"s{s}"] = [dict(r, score=rng.uniform(0.5, 1.0)) for r in rows]
+    m = evaluate_nusc(gt, pred)
+    assert m["mean_ap"] == pytest.approx(1.0)
+    for err in ("trans_err", "scale_err", "orient_err", "vel_err",
+                "attr_err"):
+        assert m["tp_errors"][err] == pytest.approx(0.0, abs=1e-12)
+    assert m["nd_score"] == pytest.approx(1.0)
+
+
+def test_ap_half_recall_hand_computed():
+    """10 GT, 5 perfect detections, no FPs: precision 1 up to recall 0.5.
+
+    Interpolated precision = 1 for the 51 points at recall <= 0.5, else 0.
+    AP = mean over points 11..100 of max(p - 0.1, 0) / 0.9
+       = (40 * 0.9) / (90 * 0.9) = 40/90.
+    """
+    gt = {"s0": [B(3.0 * i, 0, "car") for i in range(10)]}
+    pred = {"s0": [dict(B(3.0 * i, 0, "car"), score=0.9 - 0.01 * i)
+                   for i in range(5)]}
+    m = evaluate_nusc(gt, pred)
+    want = 40.0 / 90.0
+    for th, ap in m["label_aps"]["car"].items():
+        assert ap == pytest.approx(want, abs=1e-9), th
+
+
+def test_distance_threshold_gates_matching():
+    """A 1.5 m offset matches at 2 and 4 m but not at 0.5 and 1 m."""
+    gt = {"s0": [B(0, 0, "car")]}
+    pred = {"s0": [B(1.5, 0, "car", score=0.9)]}
+    m = evaluate_nusc(gt, pred)
+    aps = m["label_aps"]["car"]
+    assert aps[0.5] == 0.0 and aps[1.0] == 0.0
+    assert aps[2.0] > 0.9 and aps[4.0] > 0.9
+    # ATE is the matched distance at the 2 m threshold
+    assert m["label_tp_errors"]["car"]["trans_err"] == pytest.approx(1.5)
+
+
+def test_greedy_matching_prefers_higher_score():
+    """Two preds near one GT: the higher-scored one takes it; the other is
+    an FP even though it is closer to nothing else."""
+    gt = {"s0": [B(0, 0, "car")]}
+    pred = {"s0": [B(0.5, 0, "car", score=0.9), B(0.2, 0, "car", score=0.8)]}
+    c = accumulate(gt, pred, "car", 2.0, 2.0)
+    assert c["npos"] == 1
+    # recall jumps straight to 1.0 at the first (matched) pred; at the
+    # duplicated recall point np.interp keeps the LAST precision (the FP's
+    # 0.5), exactly as the official curve does; below it, the clamp is 1.0
+    assert c["precision"][50] == pytest.approx(1.0)
+    assert c["precision"][100] == pytest.approx(0.5)
+    # ATE comes from the 0.5 m match of the higher-scored pred
+    assert c["trans_err"][100] == pytest.approx(0.5)
+
+
+def test_scale_and_orient_errors():
+    gt = {"s0": [B(0, 0, "car", size=(2, 4, 2))]}
+    pred = {"s0": [B(0, 0, "car", score=0.9, size=(2, 4, 1),
+                     yaw=np.pi / 4)]}
+    m = evaluate_nusc(gt, pred)
+    errs = m["label_tp_errors"]["car"]
+    assert errs["scale_err"] == pytest.approx(0.5)  # 1 - 8/16
+    assert errs["orient_err"] == pytest.approx(np.pi / 4)
+
+
+def test_barrier_orientation_period_pi():
+    """A barrier flipped by pi has zero orientation error (period pi);
+    a car flipped by pi has error pi."""
+    gt = {"s0": [B(0, 0, "barrier")], "s1": [B(0, 0, "car")]}
+    pred = {"s0": [B(0, 0, "barrier", score=0.9, yaw=np.pi)],
+            "s1": [B(0, 0, "car", score=0.9, yaw=np.pi)]}
+    m = evaluate_nusc(gt, pred)
+    assert m["label_tp_errors"]["barrier"]["orient_err"] == pytest.approx(
+        0.0, abs=1e-9)
+    assert m["label_tp_errors"]["car"]["orient_err"] == pytest.approx(np.pi)
+    # barriers have no AVE/AAE in the protocol
+    assert "vel_err" not in m["label_tp_errors"]["barrier"]
+
+
+def test_class_range_filter():
+    """GT and preds beyond the class range are dropped: a 45 m pedestrian
+    (range 40) disappears from both sides."""
+    gt = {"s0": [B(45, 0, "pedestrian"), B(10, 0, "pedestrian")]}
+    pred = {"s0": [B(45, 0, "pedestrian", score=0.9),
+                   B(10, 0, "pedestrian", score=0.8)]}
+    m = evaluate_nusc(gt, pred)
+    assert m["label_aps"]["pedestrian"][0.5] == pytest.approx(1.0)
+
+
+def test_attribute_error():
+    gt = {"s0": [B(0, 0, "car", attr="vehicle.moving"),
+                 B(10, 0, "car", attr="vehicle.parked")]}
+    pred = {"s0": [B(0, 0, "car", score=0.9, attr="vehicle.moving"),
+                   B(10, 0, "car", score=0.8, attr="vehicle.moving")]}
+    m = evaluate_nusc(gt, pred)
+    # official recall-curve averaging, not a plain match mean: the error
+    # cummean [0, 0.5] is indexed by confidence; the interpolated curve is
+    # 0 for recall points 0..50 (conf 0.9) then ramps to 0.5 at conf 0.8.
+    # calc_tp averages points 11..100: (40*0 + sum_{i=1..50} 0.5*i/50)/90.
+    want = (0.5 / 50 * np.arange(1, 51).sum()) / 90
+    assert m["label_tp_errors"]["car"]["attr_err"] == pytest.approx(want)
+
+
+def test_missing_gt_attributes_count_as_worst_case():
+    """No GT attributes anywhere -> AAE = 1 (official all-nan cummean),
+    contributing zero to NDS rather than poisoning it."""
+    gt = {"s0": [B(0, 0, "car")]}
+    pred = {"s0": [B(0, 0, "car", score=0.9, attr="vehicle.moving")]}
+    m = evaluate_nusc(gt, pred)
+    assert m["label_tp_errors"]["car"]["attr_err"] == pytest.approx(1.0)
+    # perfect detection otherwise: NDS = (5*1 + 4*1 + 0) / 10
+    assert m["nd_score"] == pytest.approx(0.9)
+
+
+def test_velocity_error():
+    gt = {"s0": [B(0, 0, "car", vel=(3.0, 4.0))]}
+    pred = {"s0": [B(0, 0, "car", score=0.9, vel=(0.0, 0.0))]}
+    m = evaluate_nusc(gt, pred)
+    assert m["label_tp_errors"]["car"]["vel_err"] == pytest.approx(5.0)
+
+
+def test_no_predictions_is_zero_ap_max_errors():
+    gt = {"s0": [B(0, 0, "car")]}
+    m = evaluate_nusc(gt, {"s0": []})
+    assert m["mean_ap"] == 0.0
+    assert m["label_tp_errors"]["car"]["trans_err"] == 1.0
+    assert m["nd_score"] == pytest.approx(0.0)
+
+
+def test_calc_tp_region():
+    """TP errors average only over the achieved-recall region past
+    min_recall; unreachable recalls don't dilute."""
+    gt = {"s0": [B(6.0 * i, 0, "car") for i in range(10)]}
+    # 5 detections, alternating offsets 0.4 / 0.8 m
+    pred = {"s0": [dict(B(6.0 * i + (0.4 if i % 2 == 0 else 0.8), 0, "car"),
+                        score=0.9 - 0.01 * i) for i in range(5)]}
+    c = accumulate(gt, pred, "car", 2.0, 2.0)
+    got = calc_tp(c, "trans_err", 0.1)
+    # recall 0.5 achieved -> indices 11..50 of the interpolated curve
+    # carry the running means of [0.4, 0.6, 0.5333, 0.55, 0.56]
+    assert 0.4 < got < 0.6
+
+
+def test_gt_and_pred_converters():
+    """det3d 9-dim layout round-trips through the converters (yaw
+    convention r = -yaw - pi/2, velocity columns 6:8)."""
+    info = {
+        "token": "t0",
+        "gt_boxes": np.array(
+            [[1.0, 2.0, 0.0, 2.0, 4.0, 1.5, 3.0, 4.0,
+              -0.3 - np.pi / 2]]),
+        "gt_names": np.array(["car"]),
+    }
+    gt = gt_from_infos([info])
+    assert gt["t0"][0]["yaw"] == pytest.approx(0.3)
+    assert np.allclose(gt["t0"][0]["velocity"], [3.0, 4.0])
+
+    det = {"t0": {
+        "box3d_lidar": np.array(
+            [[1.0, 2.0, 0.0, 2.0, 4.0, 1.5, 3.0, 4.0,
+              -0.3 - np.pi / 2]]),
+        "scores": np.array([0.9]),
+        "label_preds": np.array([0]),
+    }}
+    pred = preds_from_detections(det, ["car"])
+    assert pred["t0"][0]["yaw"] == pytest.approx(0.3)
+    m = evaluate_nusc(gt, pred)
+    assert m["label_aps"]["car"][0.5] == pytest.approx(1.0)
+    assert m["label_tp_errors"]["car"]["orient_err"] == pytest.approx(
+        0.0, abs=1e-9)
+    assert m["label_tp_errors"]["car"]["vel_err"] == pytest.approx(
+        0.0, abs=1e-9)
+
+
+def test_dataset_evaluation_falls_back_to_native(tmp_path):
+    """NuScenesDataset.evaluation without the devkit installed routes to
+    the native evaluator and returns the reference result format."""
+    import pickle
+
+    from pillarnet_lts_tpu.datasets.nuscenes.nuscenes import NuScenesDataset
+
+    det3d_yaw = -0.0 - np.pi / 2
+    infos = [{
+        "token": "tok0",
+        "lidar_path": "unused.bin",
+        "sweeps": [],
+        "timestamp": 0.0,
+        "gt_boxes": np.array(
+            [[5.0, 0.0, 0.0, 2.0, 4.0, 1.5, 0.0, 0.0, det3d_yaw]]),
+        "gt_names": np.array(["car"]),
+        "gt_boxes_velocity": np.zeros((1, 3)),
+        "gt_boxes_token": np.array(["a0"]),
+    }]
+    pkl = tmp_path / "infos_val.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump(infos, f)
+
+    ds = NuScenesDataset(
+        info_path=str(pkl), root_path=str(tmp_path), nsweeps=1,
+        class_names=["car"], test_mode=True, version="v1.0-mini")
+    detections = {"tok0": {
+        "box3d_lidar": np.array(
+            [[5.0, 0.0, 0.0, 2.0, 4.0, 1.5, 0.0, 0.0, det3d_yaw]]),
+        "scores": np.array([0.95]),
+        "label_preds": np.array([0]),
+        "metadata": {"token": "tok0"},
+    }}
+    res, _ = ds.evaluation_native(detections, output_dir=str(tmp_path))
+    assert "mAP: 1.0000" in res["results"]["nusc"]
+    assert res["detail"]["nusc"]["car"]["dist@0.5"] == pytest.approx(1.0)
+    assert (tmp_path / "metrics_summary.json").exists()
+    # the devkit is absent in this environment: the official entry point
+    # must route to the same native result rather than crash
+    res2, _ = ds.evaluation(detections, output_dir=str(tmp_path))
+    assert res2["results"]["nusc"] == res["results"]["nusc"]
+
+
+def test_scores_decide_pr_order_across_samples():
+    """A high-scored FP in one sample depresses precision for the whole
+    split (global score ordering, official accumulate semantics)."""
+    gt = {"s0": [B(0, 0, "car")], "s1": [B(0, 0, "car")]}
+    pred = {
+        "s0": [B(0, 0, "car", score=0.8)],
+        "s1": [B(30, 0, "car", score=0.9)],  # FP, highest score
+    }
+    c = accumulate(gt, pred, "car", 2.0, 2.0)
+    # order: FP (recall 0, precision 0) then TP (recall .5, precision .5);
+    # the official interpolated curve ramps linearly p(r) = r up to 0.5
+    assert c["precision"][50] == pytest.approx(0.5)
+    assert c["precision"][25] == pytest.approx(0.25)
+    ap = calc_ap(c, 0.1, 0.1)
+    # mean over points 11..100 of max(i/100 - 0.1, 0) / 0.9
+    want = (np.arange(1, 41) / 100).sum() / (90 * 0.9)
+    assert ap == pytest.approx(want, abs=1e-9)
