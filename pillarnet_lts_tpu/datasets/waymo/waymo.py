@@ -117,6 +117,40 @@ class WaymoDataset(PointCloudDataset):
                 pickle.dump(detections, f)
             print(
                 "waymo-open-dataset not installed; raw detections saved to "
-                f"{out}"
+                f"{out}; computing native AP/APH instead"
             )
+            return self.evaluation_native(detections, output_dir, testset)
         return None, None
+
+    def evaluation_native(self, detections, output_dir=None, testset=False):
+        """Devkit-free Waymo AP/APH (L1/L2) via `waymo_eval.py` — no
+        waymo-open-dataset / TF needed. bin export stays the path for
+        official leaderboard numbers."""
+        import json
+
+        from .waymo_eval import (
+            evaluate_waymo, gt_from_infos, preds_from_detections)
+
+        if testset:
+            return None, None
+        gt = gt_from_infos(self._waymo_infos)
+        pred = preds_from_detections(detections, self._class_names)
+        metrics = evaluate_waymo(gt, pred, class_names=self._class_names)
+
+        result = "Waymo (native eval)\n"
+        detail = {}
+        for level in ("LEVEL_1", "LEVEL_2"):
+            for cls, v in metrics[level].items():
+                result += (f"{level} {cls}: AP {v['AP']:.4f} "
+                           f"APH {v['APH']:.4f}\n")
+                detail[f"{level}/{cls}"] = dict(v)
+        result += (f"mAP L1 {metrics['mAP_L1']:.4f} "
+                   f"mAPH L1 {metrics['mAPH_L1']:.4f} "
+                   f"mAP L2 {metrics['mAP_L2']:.4f} "
+                   f"mAPH L2 {metrics['mAPH_L2']:.4f}\n")
+        if output_dir:
+            with open(os.path.join(output_dir,
+                                   "waymo_metrics.json"), "w") as f:
+                json.dump(metrics, f, default=float)
+        return {"results": {"waymo": result},
+                "detail": {"waymo": detail}}, None

@@ -102,6 +102,15 @@ def _fill_infos(root_path, frames, split="train", nsweeps=1):
             mask = (num_points_in_gt > 0).reshape(-1)
             info["gt_boxes"] = gt_boxes[mask].astype(np.float32)
             info["gt_names"] = gt_names[mask].astype(str)
+            # additive fields beyond the reference layout: feed the native
+            # AP/APH evaluator's LEVEL_1/2 split (`waymo_eval.py`)
+            info["num_points_in_gt"] = num_points_in_gt[mask].astype(
+                np.int32)
+            info["difficulty"] = np.array([
+                a.get("difficulty",
+                      a.get("detection_difficulty_level", 0))
+                for a in annos
+            ])[mask].astype(np.int32)
         infos.append(info)
     return infos
 

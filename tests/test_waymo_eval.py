@@ -1,0 +1,195 @@
+"""Native Waymo AP/APH evaluator (datasets/waymo/waymo_eval.py) against
+hand-computed oracles of the Waymo Open Dataset protocol: 3D-IoU matching
+at 0.7/0.5, heading-weighted APH, LEVEL_1/2 don't-care semantics."""
+
+import numpy as np
+import pytest
+
+from pillarnet_lts_tpu.datasets.waymo.waymo_eval import (
+    compute_ap_from_points,
+    evaluate_waymo,
+    gt_from_infos,
+    preds_from_detections,
+)
+
+
+def _gt(boxes, names, difficulty=None):
+    boxes = np.asarray(boxes, np.float64).reshape(-1, 7)
+    n = len(boxes)
+    return {
+        "boxes": boxes,
+        "names": np.array([s.upper() for s in names]),
+        "difficulty": np.asarray(
+            difficulty if difficulty is not None else np.ones(n, int)),
+    }
+
+
+def _pred(boxes, names, scores):
+    boxes = np.asarray(boxes, np.float64).reshape(-1, 7)
+    return {
+        "boxes": boxes,
+        "names": np.array([s.upper() for s in names]),
+        "scores": np.asarray(scores, np.float64),
+    }
+
+
+BOX = [0.0, 0.0, 0.0, 2.0, 4.5, 1.8, 0.3]
+
+
+def test_perfect_detection_ap_one():
+    gt = {"f0": _gt([BOX], ["vehicle"])}
+    pred = {"f0": _pred([BOX], ["vehicle"], [0.9])}
+    m = evaluate_waymo(gt, pred)
+    assert m["LEVEL_1"]["VEHICLE"]["AP"] == pytest.approx(1.0)
+    assert m["LEVEL_1"]["VEHICLE"]["APH"] == pytest.approx(1.0)
+    assert m["mAP_L2"] == pytest.approx(1.0)
+
+
+def test_flipped_heading_kills_aph_not_ap():
+    """A pi yaw flip keeps the IoU (symmetric box) but zeroes the heading
+    accuracy: AP 1, APH 0."""
+    flipped = list(BOX)
+    flipped[6] = BOX[6] + np.pi
+    gt = {"f0": _gt([BOX], ["vehicle"])}
+    pred = {"f0": _pred([flipped], ["vehicle"], [0.9])}
+    m = evaluate_waymo(gt, pred)
+    assert m["LEVEL_1"]["VEHICLE"]["AP"] == pytest.approx(1.0)
+    assert m["LEVEL_1"]["VEHICLE"]["APH"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_iou_threshold_per_class():
+    """The same 0.55-ish IoU shift fails the vehicle 0.7 gate but passes
+    the pedestrian 0.5 gate."""
+    veh = [0.0, 0.0, 0.0, 2.0, 4.0, 2.0, 0.0]
+    veh_shift = [0.5, 0.0, 0.0, 2.0, 4.0, 2.0, 0.0]  # IoU = 3.5/4.5 x ...
+    ped = [10.0, 0.0, 0.0, 1.0, 1.0, 1.8, 0.0]
+    ped_shift = [10.25, 0.0, 0.0, 1.0, 1.0, 1.8, 0.0]
+    # IoU(veh) = (4-.5)/(4+.5) = 0.778 > 0.7 -> actually passes; use a
+    # bigger shift for the vehicle:
+    veh_shift = [1.0, 0.0, 0.0, 2.0, 4.0, 2.0, 0.0]  # (4-1)/(4+1)=0.6<0.7
+    # IoU(ped) = (1-.25)/(1+.25) = 0.6 > 0.5 -> TP
+    gt = {"f0": _gt([veh, ped], ["vehicle", "pedestrian"])}
+    pred = {"f0": _pred([veh_shift, ped_shift],
+                        ["vehicle", "pedestrian"], [0.9, 0.9])}
+    m = evaluate_waymo(gt, pred)
+    assert m["LEVEL_1"]["VEHICLE"]["AP"] == pytest.approx(0.0)
+    assert m["LEVEL_1"]["PEDESTRIAN"]["AP"] == pytest.approx(1.0)
+
+
+def test_level2_dont_care_semantics():
+    """A pred matching an L2-only gt is neither TP nor FP at LEVEL_1; the
+    unmatched L2 gt is not an FN. At LEVEL_2 both count."""
+    easy = BOX
+    hard = [20.0, 0.0, 0.0, 2.0, 4.5, 1.8, 0.0]
+    gt = {"f0": _gt([easy, hard], ["vehicle", "vehicle"],
+                    difficulty=[1, 2])}
+    pred = {"f0": _pred([easy, hard], ["vehicle", "vehicle"], [0.9, 0.8])}
+    m = evaluate_waymo(gt, pred)
+    # L1: the hard match is ignored -> precision 1 at recall 1 over 1 gt
+    assert m["LEVEL_1"]["VEHICLE"]["AP"] == pytest.approx(1.0)
+    assert m["LEVEL_2"]["VEHICLE"]["AP"] == pytest.approx(1.0)
+
+    # now miss the hard box: L1 unchanged, L2 recall caps at 0.5
+    pred2 = {"f0": _pred([easy], ["vehicle"], [0.9])}
+    m2 = evaluate_waymo(gt, pred2)
+    assert m2["LEVEL_1"]["VEHICLE"]["AP"] == pytest.approx(1.0)
+    assert m2["LEVEL_2"]["VEHICLE"]["AP"] == pytest.approx(0.5)
+
+
+def test_false_positive_hits_precision():
+    """1 gt, a perfect TP at score .9 plus an FP at score .8: the envelope
+    keeps precision 1 up to recall 1 for cutoffs > .8, so AP stays 1; an FP
+    ABOVE the TP's score caps precision at 0.5 instead."""
+    gt = {"f0": _gt([BOX], ["vehicle"])}
+    far = [30.0, 0.0, 0.0, 2.0, 4.5, 1.8, 0.0]
+    m = evaluate_waymo(
+        gt, {"f0": _pred([BOX, far], ["vehicle", "vehicle"], [0.9, 0.8])})
+    assert m["LEVEL_1"]["VEHICLE"]["AP"] == pytest.approx(1.0)
+    m2 = evaluate_waymo(
+        gt, {"f0": _pred([BOX, far], ["vehicle", "vehicle"], [0.8, 0.9])})
+    assert m2["LEVEL_1"]["VEHICLE"]["AP"] == pytest.approx(0.5)
+
+
+def test_hungarian_beats_greedy_order():
+    """Two preds, two gts where greedy-by-score would cross-assign: the
+    assignment maximizes total IoU so both match."""
+    g1 = [0.0, 0.0, 0.0, 2.0, 4.0, 2.0, 0.0]
+    g2 = [3.0, 0.0, 0.0, 2.0, 4.0, 2.0, 0.0]
+    p_between = [0.9, 0.0, 0.0, 2.0, 4.0, 2.0, 0.0]   # overlaps both
+    p_on_g1 = [0.0, 0.0, 0.0, 2.0, 4.0, 2.0, 0.0]
+    gt = {"f0": _gt([g1, g2], ["pedestrian", "pedestrian"])}
+    pred = {"f0": _pred([p_between, p_on_g1],
+                        ["pedestrian", "pedestrian"], [0.95, 0.9])}
+    m = evaluate_waymo(gt, pred)
+    # p_between must yield to p_on_g1 for g1... here p_between can't reach
+    # g2 (IoU (4-3+0.9)/... = (1.9)/(8-1.9) < 0.5), so at most one TP
+    assert m["LEVEL_1"]["PEDESTRIAN"]["AP"] <= 0.5 + 1e-9
+
+
+def test_compute_ap_envelope():
+    """Hand-checked step integral with a non-monotone precision curve."""
+    r = [0.2, 0.5, 1.0]
+    p = [0.8, 1.0, 0.5]
+    # envelope: [1.0, 1.0, 0.5]; AP = .2*1 + .3*1 + .5*.5 = 0.75
+    assert compute_ap_from_points(r, p) == pytest.approx(0.75)
+
+
+def test_converters_and_difficulty_from_infos():
+    infos = [{
+        "token": "f0",
+        "gt_boxes": np.array(
+            [[0, 0, 0, 2, 4.5, 1.8, 0.0, 0.0, 0.3],
+             [9, 0, 0, 2, 4.5, 1.8, 0.0, 0.0, 0.0]], np.float32),
+        "gt_names": np.array(["VEHICLE", "VEHICLE"]),
+        "num_points_in_gt": np.array([50, 3]),   # 3 pts -> LEVEL_2
+        "difficulty": np.array([0, 0]),
+    }]
+    gt = gt_from_infos(infos)
+    assert list(gt["f0"]["difficulty"]) == [1, 2]
+
+    det = {"f0": {
+        "box3d_lidar": np.array(
+            [[0, 0, 0, 2, 4.5, 1.8, 0.0, 0.0, 0.3]], np.float32),
+        "scores": np.array([0.9]),
+        "label_preds": np.array([0]),
+    }}
+    pred = preds_from_detections(det, ["VEHICLE"])
+    m = evaluate_waymo(gt, pred)
+    assert m["LEVEL_1"]["VEHICLE"]["AP"] == pytest.approx(1.0)
+    assert m["LEVEL_2"]["VEHICLE"]["AP"] == pytest.approx(0.5)
+
+
+def test_dataset_native_evaluation(tmp_path):
+    """WaymoDataset.evaluation without the waymo devkit falls back to the
+    native evaluator and writes waymo_metrics.json."""
+    import pickle
+
+    from pillarnet_lts_tpu.datasets.waymo.waymo import WaymoDataset
+
+    infos = [{
+        "token": "seq_0_frame_0.pkl",
+        "path": "unused.bin",
+        "anno_path": "unused.pkl",
+        "sweeps": [],
+        "gt_boxes": np.array(
+            [[0, 0, 0, 2, 4.5, 1.8, 0.0, 0.0, 0.3]], np.float32),
+        "gt_names": np.array(["VEHICLE"]),
+        "num_points_in_gt": np.array([50]),
+        "difficulty": np.array([0]),
+    }]
+    pkl = tmp_path / "infos_val.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump(infos, f)
+    ds = WaymoDataset(
+        info_path=str(pkl), root_path=str(tmp_path), nsweeps=1,
+        class_names=["VEHICLE"], test_mode=True)
+    detections = {"seq_0_frame_0.pkl": {
+        "box3d_lidar": np.array(
+            [[0, 0, 0, 2, 4.5, 1.8, 0.0, 0.0, 0.3]], np.float32),
+        "scores": np.array([0.9]),
+        "label_preds": np.array([0]),
+        "metadata": {"token": "seq_0_frame_0.pkl"},
+    }}
+    res, _ = ds.evaluation_native(detections, output_dir=str(tmp_path))
+    assert "mAP L1 1.0000" in res["results"]["waymo"]
+    assert (tmp_path / "waymo_metrics.json").exists()
