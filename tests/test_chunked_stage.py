@@ -110,6 +110,7 @@ def test_chunked_gate_requires_divisible_width():
         np.testing.assert_allclose(out[k], ref[k], atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_chunked_gate_skips_large_batch():
     # TRAINING at batch >= 4 must skip tiling (the backward's tiled
     # activations OOM 16 GB HBM at bs=8); EVAL tiles at any batch (serving

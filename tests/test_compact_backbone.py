@@ -66,6 +66,7 @@ def _assert_stage_equal(dense_out, compact_out, atol):
         )
 
 
+@pytest.mark.slow
 def test_compact_backbone_matches_dense_eval():
     model = _model()
     (grid, occ), cp = _both_inputs(0)
@@ -94,6 +95,7 @@ def test_compact_backbone_matches_dense_train_and_stats():
     )
 
 
+@pytest.mark.slow
 def test_compact_backbone_gradients_match_dense():
     """d loss / d params must agree between execution layouts (the compact
     path trains through jnp.take VJPs)."""

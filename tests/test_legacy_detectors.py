@@ -43,6 +43,7 @@ def test_box_center_points_matches_corner_midpoints():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_voxelnet_alias_forward():
     cfg = dict(MODEL_CFG["first_stage_cfg"])
     cfg["type"] = "VoxelNet"

@@ -8,6 +8,8 @@ The flag activation-checkpoints every residual block / down stage
 """
 
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -42,6 +44,7 @@ def _run_train(grid, occ, **kw):
     return variables, float(loss), stats, grads
 
 
+@pytest.mark.slow
 def test_remat_training_matches_plain():
     grid, occ = _inputs(0)
     v0, l0, s0, g0 = _run_train(grid, occ, remat=False)

@@ -1,0 +1,90 @@
+"""Export the full inference graph as a self-contained StableHLO artifact.
+
+Usage:
+  python tools/export_serving.py CONFIG --checkpoint DIR --out model.jaxexp
+      [--batch 1] [--max-points 300000] [--platform tpu|cpu]
+
+Serializes the jitted end-to-end inference function (points -> decoded,
+NMS'd boxes; weights baked in as constants) with `jax.export`.  The
+artifact is loadable in any process with jax installed — no framework, no
+config, no checkpoint:
+
+    from jax import export
+    fn = export.deserialize(open("model.jaxexp", "rb").read())
+    dets = fn.call(points, points_mask)   # {'box3d_lidar', 'scores', ...}
+
+This is the TPU-native analog of the reference's torchscript/ONNX-style
+deployment gap (the reference has none — serving reuses the training
+stack); a frozen, version-pinned compute graph is the serving contract for
+production fleets.  The export targets the requested platform's lowering;
+cross-platform export (e.g. export on a CPU host, serve on TPU) is
+supported by jax.export as long as the ops lower on the target.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("config")
+    parser.add_argument("--checkpoint", required=True,
+                        help="orbax checkpoint dir (TrainState or bare "
+                             "variables, e.g. convert_torch.py output)")
+    parser.add_argument("--out", required=True)
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--max-points", type=int, default=None,
+                        help="points-per-frame padding (default: the "
+                             "config's data.max_points)")
+    parser.add_argument("--platform", default=None,
+                        choices=(None, "cpu", "tpu"),
+                        help="lowering platform (default: the current "
+                             "jax backend)")
+    args = parser.parse_args()
+
+    import jax
+
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want:
+        jax.config.update("jax_platforms", want)
+
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+    from jax import export as jexport
+
+    from pillarnet_lts_tpu.apis import build_model_from_cfg
+    from pillarnet_lts_tpu.eval_utils import make_infer_fn
+    from pillarnet_lts_tpu.utils.config import Config
+
+    cfg = Config.fromfile(args.config)
+    model = build_model_from_cfg(cfg)
+    n_pts = args.max_points or cfg.data.get("max_points") or 300_000
+
+    restored = ocp.PyTreeCheckpointer().restore(
+        os.path.abspath(args.checkpoint))
+    params = restored["params"]
+    batch_stats = restored.get("batch_stats", {})
+
+    infer = make_infer_fn(model)
+
+    def serving_fn(points, points_mask):
+        return infer(params, batch_stats, points, points_mask)
+
+    spec_pts = jax.ShapeDtypeStruct((args.batch, n_pts, 5), jnp.float32)
+    spec_msk = jax.ShapeDtypeStruct((args.batch, n_pts), jnp.bool_)
+    platforms = [args.platform] if args.platform else None
+    exported = jexport.export(
+        jax.jit(serving_fn), platforms=platforms)(spec_pts, spec_msk)
+    blob = exported.serialize()
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(f"exported {len(blob) / 1e6:.1f} MB to {args.out} "
+          f"(batch={args.batch}, points={n_pts}, "
+          f"platforms={exported.platforms})")
+
+
+if __name__ == "__main__":
+    main()
