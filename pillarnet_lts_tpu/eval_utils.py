@@ -3,7 +3,7 @@
 import numpy as np
 
 
-def make_infer_fn(model, test_cfg=None):
+def make_infer_fn(model, test_cfg=None, quant=None):
     """Jitted forward + decode for evaluation.
 
     Single shared factory for `Trainer.val` and `tools/dist_test.py`
@@ -12,6 +12,10 @@ def make_infer_fn(model, test_cfg=None):
     build this ONCE per model and reuse it — jax.jit caches retraces by
     shape, so a cached fn makes repeated val epochs in a
     [('train',k),('val',1)] workflow compile-free after the first.
+
+    `quant`: optional calibrated 'quant' collection (runtime/quantize.py);
+    when given and the backbone was built with quant=True, conv cores run
+    int8. Closure-captured so the infer signature stays unchanged.
     """
     import jax
 
@@ -20,10 +24,10 @@ def make_infer_fn(model, test_cfg=None):
 
     @jax.jit
     def infer(params, batch_stats, points, points_mask):
-        preds = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            points, points_mask, train=False,
-        )
+        variables = {"params": params, "batch_stats": batch_stats}
+        if quant is not None:
+            variables["quant"] = quant
+        preds = model.apply(variables, points, points_mask, train=False)
         return model.predict({}, preds, test_cfg)
 
     return infer

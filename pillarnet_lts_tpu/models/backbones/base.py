@@ -185,6 +185,46 @@ def _tile4(v):
 
 
 # ---------------------------------------------------------------------------
+# int8 deploy path (eval only, opt-in via backbone `quant=True`).
+#
+# The v5e MXU runs int8 x int8 -> int32 at 2x its bf16 rate, and int8
+# activations halve the HBM traffic of every conv read. Scheme: symmetric
+# per-output-channel weight quantization (the BN fold factor `inv` is
+# per-output-channel too, so it rides the dequant vector — the int8 kernel
+# never changes when BN statistics do), symmetric per-tensor activation
+# quantization with absmax calibration. Inactive sites are exact 0 in both
+# domains (symmetric quant has no zero point), so the masked-dense spconv
+# semantics above are preserved bit-exactly at the mask level.
+#
+# Calibration: each quantized conv `sow`s its input absmax into the 'quant'
+# collection during a normal (bf16) eval forward run with mutable=['quant']
+# (`runtime/quantize.py::calibrate`). Once the collection is threaded back
+# in, `quant_ready()` flips the conv core to int8. The params/batch_stats
+# trees are untouched — checkpoints stay compatible, and the reference
+# deploy analog is TensorRT int8 post-training quantization of the same
+# conv+BN+ReLU chains (reference exports via `det3d` -> ONNX -> TRT).
+# ---------------------------------------------------------------------------
+
+_QINIT = lambda: jnp.zeros((), jnp.float32)  # noqa: E731
+
+
+def quantize_act(x, s_x):
+    """bf16/fp32 -> int8 with symmetric per-tensor scale (XLA fuses this
+    into the producing op's epilogue, so the int8 copy is usually free)."""
+    q = jnp.round(x.astype(jnp.float32) * (1.0 / s_x))
+    return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+
+
+def conv_core_int8(xq, wq, stride, padding):
+    """int8 x int8 -> int32 NHWC conv (MXU int8 mode)."""
+    return jax.lax.conv_general_dilated(
+        xq, wq, (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Overlapped W-tiling ("manual space-to-batch") for the wide stride-1 stages.
 #
 # XLA's SpaceToBatchConverter runs every batch-1 BEV conv as batch=8 tiles of
@@ -312,12 +352,30 @@ def conv_bn_act_s2d(conv: "MaskedConv", bn: MaskedBatchNorm, x, masks,
         inv, shift = bn.fold_factors()
         if conv.use_bias:
             shift = conv.bias * inv + shift
-        y = jax.lax.conv_general_dilated(
-            x.astype(conv.dtype), (w * _tile4(inv)).astype(conv.dtype),
-            (1, 1), (hpad, wpad),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        y = y + _tile4(shift).astype(y.dtype)
+        if conv.quant_ready():
+            # int8 core: quantize the FINE kernel per out-channel, expand
+            # the int8 taps (expansion only moves taps / inserts structural
+            # zeros, which quantize exactly); the coarse 4co output channels
+            # are phase-major tiles of the fine co, so the dequant vector is
+            # the _tile4 of the fine one.
+            s_x = conv.in_scale()
+            s_w = conv.weight_scale()
+            yq = conv_core_int8(
+                quantize_act(x, s_x), expand_kernel_s2d(conv.kernel_int8(s_w)),
+                1, (hpad, wpad),
+            )
+            y = (
+                yq.astype(jnp.float32) * _tile4(s_x * s_w * inv)
+                + _tile4(shift)
+            ).astype(conv.dtype)
+        else:
+            conv.observe(x)
+            y = jax.lax.conv_general_dilated(
+                x.astype(conv.dtype), (w * _tile4(inv)).astype(conv.dtype),
+                (1, 1), (hpad, wpad),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = y + _tile4(shift).astype(y.dtype)
         if rezero == "addneg" and "negc" in masks:
             n = masks["negc"]
             y = y + (center_w(n, y.shape[2]) if chunked else n)
@@ -354,6 +412,11 @@ class MaskedConv(nn.Module):
     use_bias: bool = True
     dtype: Any = jnp.float32
     bias_init: Any = nn.initializers.zeros
+    # int8 deploy mode (see module comment): False = bf16/fp32 compute.
+    # When True, eval-time `folded` calls observe input absmax (calibration,
+    # mutable 'quant' collection) and switch the conv core to int8 once a
+    # calibrated scale is present in the variables.
+    quant: bool = False
 
     def setup(self):
         k = self.kernel_size
@@ -385,10 +448,56 @@ class MaskedConv(nn.Module):
 
     def folded(self, x, inv, shift, pad_w=True):
         """conv with the following BN's affine folded in:
-        BN(conv(x) + cb) = conv(x) * inv + (cb * inv + shift)."""
-        w = self.kernel * inv  # (k, k, in, out) * (out,)
+        BN(conv(x) + cb) = conv(x) * inv + (cb * inv + shift).
+
+        In quant mode (calibrated) the core runs int8: the BN fold factor
+        and both quant scales ride the int32 -> bf16 dequant epilogue."""
         b = self.bias * inv + shift if self.use_bias else shift
-        return self._run(x, w, b, pad_w=pad_w)
+        if self.quant_ready():
+            s_x = self.in_scale()
+            s_w = self.weight_scale()
+            pad = (self.kernel_size - 1) // 2
+            padding = ((pad, pad), (pad, pad) if pad_w else (0, 0))
+            y = conv_core_int8(
+                quantize_act(x, s_x), self.kernel_int8(s_w),
+                self.stride, padding,
+            )
+            return (
+                y.astype(jnp.float32) * (s_x * s_w * inv) + b
+            ).astype(self.dtype)
+        self.observe(x)
+        return self._run(x, self.kernel * inv, b, pad_w=pad_w)
+
+    # ---- int8 deploy helpers (see module comment) --------------------------
+    def observe(self, x):
+        """Calibration hook: record the running input absmax (only stored
+        when the 'quant' collection is mutable; otherwise the reduction is
+        dead code XLA eliminates)."""
+        if self.quant:
+            self.sow(
+                "quant", "in_absmax",
+                jnp.max(jnp.abs(x)).astype(jnp.float32),
+                reduce_fn=jnp.maximum, init_fn=_QINIT,
+            )
+
+    def quant_ready(self):
+        return self.quant and self.has_variable("quant", "in_absmax")
+
+    def in_scale(self):
+        """Per-tensor symmetric activation scale from the calibrated absmax."""
+        amax = self.get_variable("quant", "in_absmax")
+        return jnp.maximum(amax, 1e-6) / 127.0
+
+    def weight_scale(self):
+        """Per-output-channel symmetric weight scale (fp32, raw kernel —
+        the BN fold factor stays in the dequant vector)."""
+        s = jnp.max(jnp.abs(self.kernel), axis=(0, 1, 2)) / 127.0
+        return jnp.maximum(s, 1e-12)
+
+    def kernel_int8(self, s_w):
+        return jnp.clip(
+            jnp.round(self.kernel * (1.0 / s_w)), -127.0, 127.0
+        ).astype(jnp.int8)
 
 
 def conv_bn_act(conv: MaskedConv, bn: MaskedBatchNorm, x, mask, train,
@@ -446,12 +555,14 @@ class Sparse2DBasicBlock(nn.Module):
     eps: float = 1e-3
     dtype: Any = jnp.float32
     s2d: bool = False
+    quant: bool = False
 
     def setup(self):
         kw = dict(momentum=self.momentum, eps=self.eps, dtype=self.dtype)
-        self.conv1 = MaskedConv(self.planes, self.planes, dtype=self.dtype)
+        ckw = dict(dtype=self.dtype, quant=self.quant)
+        self.conv1 = MaskedConv(self.planes, self.planes, **ckw)
         self.bn1 = MaskedBatchNorm(self.planes, **kw)
-        self.conv2 = MaskedConv(self.planes, self.planes, dtype=self.dtype)
+        self.conv2 = MaskedConv(self.planes, self.planes, **ckw)
         self.bn2 = MaskedBatchNorm(self.planes, **kw)
 
     def __call__(self, x, mask, train: bool = True, chunked: bool = False):
@@ -486,15 +597,17 @@ class Sparse2DBasicBlockV(nn.Module):
     dtype: Any = jnp.float32
     in_planes: Optional[int] = None  # input channels; defaults to planes
     s2d: bool = False
+    quant: bool = False
 
     def setup(self):
         kw = dict(momentum=self.momentum, eps=self.eps, dtype=self.dtype)
+        ckw = dict(dtype=self.dtype, quant=self.quant)
         cin = self.planes if self.in_planes is None else self.in_planes
-        self.conv0 = MaskedConv(self.planes, cin, dtype=self.dtype)
+        self.conv0 = MaskedConv(self.planes, cin, **ckw)
         self.bn0 = MaskedBatchNorm(self.planes, **kw)
-        self.conv1 = MaskedConv(self.planes, self.planes, dtype=self.dtype)
+        self.conv1 = MaskedConv(self.planes, self.planes, **ckw)
         self.bn1 = MaskedBatchNorm(self.planes, **kw)
-        self.conv2 = MaskedConv(self.planes, self.planes, dtype=self.dtype)
+        self.conv2 = MaskedConv(self.planes, self.planes, **ckw)
         self.bn2 = MaskedBatchNorm(self.planes, **kw)
 
     def __call__(self, x, mask, train: bool = True, chunked: bool = False):
@@ -544,13 +657,14 @@ class SparseDownStage(nn.Module):
     # all of them (a 720^2 x 64 stage keeps ~9 x 550 MB temps resident
     # without it). Engaged by the backbone-level `remat` flag.
     remat: bool = False
+    quant: bool = False
 
     def setup(self):
         cin = (self.channels // 2 if self.in_channels is None
                else self.in_channels)
         self.down_conv = MaskedConv(
             self.channels, cin, stride=self.stride, use_bias=False,
-            dtype=self.dtype,
+            dtype=self.dtype, quant=self.quant,
         )
         self.down_bn = MaskedBatchNorm(
             self.channels, momentum=self.momentum, eps=self.eps,
@@ -563,7 +677,7 @@ class SparseDownStage(nn.Module):
         self.blocks = [
             block_cls(
                 self.channels, self.momentum, self.eps, dtype=self.dtype,
-                name=f"block{i}",
+                quant=self.quant, name=f"block{i}",
             )
             for i in range(self.num_blocks)
         ]
@@ -584,14 +698,28 @@ class SparseDownStage(nn.Module):
                 y = self.down_bn(y, mask=new_mask, train=True)
             else:
                 inv, shift = self.down_bn.fold_factors()
-                y = jax.lax.conv_general_dilated(
-                    x.astype(self.dtype), (w * inv).astype(self.dtype),
-                    (1, 1), ((1, 0), (1, 0)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
-                y = (y + shift.astype(y.dtype)) * new_mask.astype(y.dtype)[
-                    ..., None
-                ]
+                if self.down_conv.quant_ready():
+                    s_x = self.down_conv.in_scale()
+                    s_w = self.down_conv.weight_scale()
+                    yq = conv_core_int8(
+                        quantize_act(x, s_x),
+                        expand_kernel_s2d_down(
+                            self.down_conv.kernel_int8(s_w)
+                        ),
+                        1, ((1, 0), (1, 0)),
+                    )
+                    y = (
+                        yq.astype(jnp.float32) * (s_x * s_w * inv) + shift
+                    ).astype(self.dtype)
+                else:
+                    self.down_conv.observe(x)
+                    y = jax.lax.conv_general_dilated(
+                        x.astype(self.dtype), (w * inv).astype(self.dtype),
+                        (1, 1), ((1, 0), (1, 0)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    )
+                    y = y + shift.astype(y.dtype)
+                y = y * new_mask.astype(y.dtype)[..., None]
             y = nn.relu(y)
         else:
             y = conv_bn_act(self.down_conv, self.down_bn, x, new_mask, train)
@@ -647,12 +775,13 @@ class DenseConvBNReLU(nn.Module):
     eps: float = 1e-3
     dtype: Any = jnp.float32
     in_features: Optional[int] = None  # defaults to features
+    quant: bool = False
 
     def setup(self):
         cin = self.features if self.in_features is None else self.in_features
         self.conv = MaskedConv(
             self.features, cin, self.kernel_size, self.stride,
-            use_bias=False, dtype=self.dtype,
+            use_bias=False, dtype=self.dtype, quant=self.quant,
         )
         self.bn = MaskedBatchNorm(
             self.features, momentum=self.momentum, eps=self.eps,

@@ -75,6 +75,10 @@ class _PillarResNetBase(nn.Module):
     # training (bs=8 on one 16 GB chip OOMs without it) at ~1.3x backward
     # FLOPs. Parameter tree is unchanged — checkpoints stay compatible.
     remat: bool = False
+    # int8 deploy mode for the backbone convs (eval only; see base.py module
+    # comment and runtime/quantize.py). Checkpoints are unchanged — the
+    # calibrated activation scales live in a separate 'quant' collection.
+    quant: bool = False
 
     @property
     def backbone_channels(self):
@@ -157,11 +161,13 @@ class _PillarResNetBase(nn.Module):
             Down = nn.remat(SparseDownStage, static_argnums=(3,))
 
         x = BlockV(
-            c, dtype=self.dtype, s2d=use_s2d, name="conv1_block0"
+            c, dtype=self.dtype, s2d=use_s2d, quant=self.quant,
+            name="conv1_block0",
         )(x, occ4, train, use_chunk)
         for i in range(1, self.conv1_blocks):
             x = Block(
-                c, dtype=self.dtype, s2d=use_s2d, name=f"conv1_block{i}"
+                c, dtype=self.dtype, s2d=use_s2d, quant=self.quant,
+                name=f"conv1_block{i}",
             )(x, occ4, train, use_chunk)
         if use_chunk:
             x = w_unchunk(x, self.chunk_nc)
@@ -174,17 +180,19 @@ class _PillarResNetBase(nn.Module):
             c * 2, self.stage_blocks[0], in_channels=c, dtype=self.dtype,
             s2d_in=use_s2d, chunk_nc=self.chunk_nc,
             chunk_min_w=self.chunk_min_w, chunk_train=self.chunk_train,
-            remat=self.remat, name="conv2",
+            remat=self.remat, quant=self.quant, name="conv2",
         )(x, m1, train)
         x3, m3 = Down(
             c * 4, self.stage_blocks[1], in_channels=c * 2, dtype=self.dtype,
             chunk_nc=self.chunk_nc, chunk_min_w=self.chunk_min_w,
-            chunk_train=self.chunk_train, remat=self.remat, name="conv3",
+            chunk_train=self.chunk_train, remat=self.remat,
+            quant=self.quant, name="conv3",
         )(x2, m2, train)
         x4, m4 = Down(
             c * 8, self.stage_blocks[2], in_channels=c * 4, dtype=self.dtype,
             chunk_nc=self.chunk_nc, chunk_min_w=self.chunk_min_w,
-            chunk_train=self.chunk_train, remat=self.remat, name="conv4",
+            chunk_train=self.chunk_train, remat=self.remat,
+            quant=self.quant, name="conv4",
         )(x3, m3, train)
 
         out = {
@@ -205,13 +213,16 @@ class _PillarResNetBase(nn.Module):
         Dense = (nn.remat(DenseConvBNReLU, static_argnums=(2,))
                  if self.remat else DenseConvBNReLU)
         y = Dense(
-            c * 8, kernel_size=3, stride=2, dtype=self.dtype, name="conv5_down"
+            c * 8, kernel_size=3, stride=2, dtype=self.dtype,
+            quant=self.quant, name="conv5_down",
         )(x4, train)
         y = Dense(
-            c * 8, kernel_size=3, stride=1, dtype=self.dtype, name="conv5_block0"
+            c * 8, kernel_size=3, stride=1, dtype=self.dtype,
+            quant=self.quant, name="conv5_block0",
         )(y, train)
         y = Dense(
-            c * 8, kernel_size=3, stride=1, dtype=self.dtype, name="conv5_block1"
+            c * 8, kernel_size=3, stride=1, dtype=self.dtype,
+            quant=self.quant, name="conv5_block1",
         )(y, train)
         return y
 

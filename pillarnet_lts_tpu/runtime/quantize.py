@@ -1,0 +1,47 @@
+"""Post-training int8 calibration for the deploy path.
+
+The backbone's int8 mode (`model.backbone.quant=True`, see
+`models/backbones/base.py`) needs one per-conv activation scale, collected
+by running normal bf16 eval forwards over a handful of representative
+frames with the 'quant' collection mutable: every quantized conv `sow`s its
+input absmax (running max within one apply); this module merges the maxima
+across calibration batches and returns the variables dict extended with the
+final 'quant' collection. Thread that dict into any eval apply and the conv
+cores switch to int8 (weights per-output-channel symmetric, activations
+per-tensor symmetric — the standard TensorRT-style PTQ recipe the reference
+ecosystem uses to deploy these CenterPoint-family models).
+
+Reference deploy analog: the reference itself ships fp16/fp32 only; int8 is
+the conventional production step downstream of it (ONNX -> TensorRT int8).
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def calibrate(model, variables, batches):
+    """Collect int8 activation scales over calibration batches.
+
+    Args:
+      model: a built detector (flax module) whose backbone has quant=True.
+      variables: init/checkpoint variables (params + batch_stats, no 'quant'
+        collection — if one is present it is dropped and re-collected).
+      batches: iterable of (points, points_mask) device/np arrays.
+
+    Returns:
+      variables dict with a calibrated 'quant' collection added.
+    """
+    base = {k: v for k, v in variables.items() if k != "quant"}
+
+    @jax.jit
+    def one(p, m):
+        _, aux = model.apply(base, p, m, train=False, mutable=["quant"])
+        return aux["quant"]
+
+    quant = None
+    for p, m in batches:
+        q = jax.device_get(one(jnp.asarray(p), jnp.asarray(m)))
+        quant = q if quant is None else jax.tree.map(jnp.maximum, quant, q)
+    if quant is None:
+        raise ValueError("calibrate() needs at least one batch")
+    return {**base, "quant": jax.tree.map(jnp.asarray, quant)}

@@ -1,0 +1,147 @@
+"""int8 deploy path (backbone `quant=True` + runtime/quantize.calibrate).
+
+The int8 mode is post-training quantization of the eval conv cores
+(symmetric per-output-channel weights, symmetric per-tensor activations —
+the TensorRT-style recipe used to deploy CenterPoint-family models; the
+reference itself ships fp32/fp16 only). These tests pin:
+  - the parameter tree is unchanged by the flag (checkpoints compatible);
+  - calibration collects one scale per conv and merges across batches;
+  - the int8 forward tracks the fp32 forward within PTQ-grade error on a
+    random-init model (the worst case — no training has shaped activations);
+  - masked-dense spconv semantics survive quantization exactly: inactive
+    sites stay exact zeros (symmetric quant has no zero point);
+  - the s2d int8 kernel expansion equals quantize-then-expand by
+    construction (structural zeros quantize to 0).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pillarnet_lts_tpu.apis import build_model_from_cfg
+from pillarnet_lts_tpu.runtime.quantize import calibrate
+from pillarnet_lts_tpu.utils.config import Config
+
+
+def _demo_model(quant):
+    cfg = Config.fromfile("configs/demo/pillarnet18_demo.py")
+    cfg.model["backbone"]["quant"] = quant
+    return build_model_from_cfg(cfg)
+
+
+def _inputs(seed=0, n=512):
+    rng = np.random.RandomState(seed)
+    pts = jnp.asarray(rng.uniform(-15, 15, (1, n, 5)).astype(np.float32))
+    return pts, jnp.ones((1, n), bool)
+
+
+def test_param_tree_unchanged_and_calibration_shape():
+    pts, msk = _inputs()
+    m_f = _demo_model(False)
+    m_q = _demo_model(True)
+    v_f = m_f.init(jax.random.PRNGKey(0), pts, msk, train=False)
+    v_q = m_q.init(jax.random.PRNGKey(0), pts, msk, train=False)
+    assert jax.tree_util.tree_structure(
+        v_f["params"]
+    ) == jax.tree_util.tree_structure(v_q["params"])
+    # init on a quant model also produces first-pass scales (one per conv:
+    # PillarResNet18 = 5 + 5 + 5 + 5 + 3)
+    leaves = jax.tree.leaves(v_q["quant"])
+    assert len(leaves) == 23
+    assert all(l.shape == () and l.dtype == jnp.float32 for l in leaves)
+    assert all(float(l) > 0 for l in leaves)
+
+
+def test_calibrate_merges_batch_maxima():
+    m = _demo_model(True)
+    pts, msk = _inputs(0)
+    base = {
+        k: v
+        for k, v in m.init(
+            jax.random.PRNGKey(0), pts, msk, train=False
+        ).items()
+        if k != "quant"
+    }
+    small = (pts * 0.05, msk)  # tiny activations
+    big = (pts, msk)
+    v_small = calibrate(m, base, [small])
+    v_both = calibrate(m, base, [small, big])
+    v_big = calibrate(m, base, [big])
+    for a, b in zip(jax.tree.leaves(v_both["quant"]),
+                    jax.tree.leaves(v_big["quant"])):
+        assert float(a) == pytest.approx(float(b))
+    # small-only calibration must not exceed the merged one anywhere
+    for s, b in zip(jax.tree.leaves(v_small["quant"]),
+                    jax.tree.leaves(v_both["quant"])):
+        assert float(s) <= float(b) + 1e-6
+
+
+def test_int8_forward_tracks_fp32():
+    m = _demo_model(True)
+    pts, msk = _inputs(1)
+    base = {
+        k: v
+        for k, v in m.init(
+            jax.random.PRNGKey(0), pts, msk, train=False
+        ).items()
+        if k != "quant"
+    }
+    ref = m.apply(base, pts, msk, train=False)
+    vq = calibrate(m, base, [(pts, msk)])
+    got = m.apply(vq, pts, msk, train=False)
+    for t, (a, b) in enumerate(zip(ref, got)):
+        for k in a:
+            scale = float(jnp.max(jnp.abs(a[k]))) + 1e-6
+            err = float(jnp.max(jnp.abs(a[k] - b[k]))) / scale
+            assert err < 0.2, (t, k, err)
+
+
+def test_masked_zeros_survive_quantization():
+    """Backbone features at inactive BEV sites must be exact 0 in int8 mode
+    (the spconv-semantics invariant every downstream consumer relies on)."""
+    from pillarnet_lts_tpu.models.backbones.pillar_resnet import (
+        PillarResNet18S,
+    )
+
+    rng = np.random.RandomState(0)
+    H = W = 32
+    mask = jnp.asarray(rng.rand(1, H, W) < 0.15)
+    grid = jnp.asarray(
+        rng.randn(1, H, W, 16).astype(np.float32)
+    ) * mask[..., None]
+
+    bb = PillarResNet18S(in_channels=16, quant=True)
+    v = bb.init(jax.random.PRNGKey(0), grid, mask, train=False)
+    out, aux = bb.apply(
+        {k: v2 for k, v2 in v.items() if k != "quant"},
+        grid, mask, train=False, mutable=["quant"],
+    )
+    vq = {**{k: v2 for k, v2 in v.items() if k != "quant"},
+          "quant": aux["quant"]}
+    out_q = bb.apply(vq, grid, mask, train=False)
+    for name, (feat, m) in out_q.items():
+        if m is None:
+            continue
+        inactive = np.asarray(~m)[..., None]
+        leak = float(jnp.max(jnp.abs(feat * inactive)))
+        assert leak == 0.0, (name, leak)
+        # and the quantized features are not degenerate where active
+        assert float(jnp.max(jnp.abs(feat))) > 0
+
+
+def test_weight_quant_roundtrip_error_bound():
+    """Per-out-channel symmetric quantization reconstructs each weight to
+    within half an LSB of its channel scale."""
+    from pillarnet_lts_tpu.models.backbones.base import MaskedConv
+
+    conv = MaskedConv(8, 4, quant=True)
+    v = conv.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)))
+    w = v["params"]["kernel"]
+    bound = conv.bind(v)
+    s_w = bound.weight_scale()
+    wq = bound.kernel_int8(s_w)
+    assert wq.dtype == jnp.int8
+    err = jnp.abs(wq.astype(jnp.float32) * s_w - w)
+    assert float(jnp.max(err / s_w)) <= 0.5 + 1e-3

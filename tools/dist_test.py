@@ -38,6 +38,10 @@ def parse_args():
     parser.add_argument("--work_dir", default=None)
     parser.add_argument("--speed_test", action="store_true")
     parser.add_argument("--testset", action="store_true")
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="int8 post-training-quantized backbone (calibrates activation "
+             "scales on the first 8 eval batches; see runtime/quantize.py)")
     return parser.parse_args()
 
 
@@ -54,6 +58,8 @@ def main():
     work_dir = args.work_dir or cfg.work_dir
     os.makedirs(work_dir, exist_ok=True)
 
+    if args.int8:
+        cfg.model["backbone"]["quant"] = True
     model = build_model_from_cfg(cfg)
     split = "test" if args.testset else "val"
     dataset = build_dataset(cfg.data[split])
@@ -106,7 +112,25 @@ def main():
 
     from pillarnet_lts_tpu.eval_utils import make_infer_fn
 
-    infer = make_infer_fn(model)
+    quant = None
+    if args.int8:
+        from pillarnet_lts_tpu.runtime.quantize import calibrate
+
+        calib = []
+        for j, b in enumerate(loader):
+            calib.append(
+                (jnp.asarray(b["points"]), jnp.asarray(b["points_mask"]))
+            )
+            if j >= 7:
+                break
+        logger.info("int8: calibrating on %d batches", len(calib))
+        quant = calibrate(
+            model,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            calib,
+        )["quant"]
+
+    infer = make_infer_fn(model, quant=quant)
 
     # double-flip TTA: the loader carries 4 flipped variants per frame
     # (identical metadata x4); predict averages them back to one row
