@@ -131,6 +131,45 @@ def test_masked_zeros_survive_quantization():
         assert float(jnp.max(jnp.abs(feat))) > 0
 
 
+@pytest.mark.slow
+def test_int8_serving_export_roundtrip():
+    """The quantized graph must survive jax.export serialization: the
+    int8 conv cores and baked calibration scales reproduce the live jitted
+    inference exactly (tools/export_serving.py --int8)."""
+    from jax import export as jexport
+
+    from pillarnet_lts_tpu.eval_utils import make_infer_fn
+
+    m = _demo_model(True)
+    pts, msk = _inputs(2)
+    base = {
+        k: v
+        for k, v in m.init(
+            jax.random.PRNGKey(0), pts, msk, train=False
+        ).items()
+        if k != "quant"
+    }
+    vq = calibrate(m, base, [(pts, msk)])
+    infer = make_infer_fn(m, quant=vq["quant"])
+    want = infer(vq["params"], vq["batch_stats"], pts, msk)
+
+    def serving_fn(points, points_mask):
+        return infer(vq["params"], vq["batch_stats"], points, points_mask)
+
+    blob = jexport.export(jax.jit(serving_fn))(
+        jax.ShapeDtypeStruct(pts.shape, pts.dtype),
+        jax.ShapeDtypeStruct(msk.shape, msk.dtype),
+    ).serialize()
+    got = jexport.deserialize(blob).call(np.asarray(pts), np.asarray(msk))
+    for k in want:
+        g, w = np.asarray(got[k]), np.asarray(want[k])
+        if np.issubdtype(w.dtype, np.integer) or w.dtype == bool:
+            np.testing.assert_array_equal(g, w, err_msg=k)
+        else:
+            np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-5,
+                                       err_msg=k)
+
+
 def test_weight_quant_roundtrip_error_bound():
     """Per-out-channel symmetric quantization reconstructs each weight to
     within half an LSB of its channel scale."""

@@ -43,6 +43,11 @@ def main():
                         choices=(None, "cpu", "tpu"),
                         help="lowering platform (default: the current "
                              "jax backend)")
+    parser.add_argument("--int8", action="store_true",
+                        help="bake the int8-quantized backbone into the "
+                             "artifact (calibrates on --calib-batches val "
+                             "frames; see runtime/quantize.py)")
+    parser.add_argument("--calib-batches", type=int, default=8)
     args = parser.parse_args()
 
     import jax
@@ -60,6 +65,8 @@ def main():
     from pillarnet_lts_tpu.utils.config import Config
 
     cfg = Config.fromfile(args.config)
+    if args.int8:
+        cfg.model["backbone"]["quant"] = True
     model = build_model_from_cfg(cfg)
     n_pts = args.max_points or cfg.data.get("max_points") or 300_000
 
@@ -68,7 +75,29 @@ def main():
     params = restored["params"]
     batch_stats = restored.get("batch_stats", {})
 
-    infer = make_infer_fn(model)
+    quant = None
+    if args.int8:
+        from pillarnet_lts_tpu.datasets import build_dataset
+        from pillarnet_lts_tpu.datasets.loader import build_dataloader
+        from pillarnet_lts_tpu.runtime.quantize import calibrate
+
+        loader = build_dataloader(
+            build_dataset(cfg.data["val"]), batch_size=1,
+            workers_per_gpu=0, shuffle=False,
+            max_points=cfg.data.get("max_points"), drop_last=False,
+        )
+        calib = []
+        for j, b in enumerate(loader):
+            calib.append((jnp.asarray(b["points"]),
+                          jnp.asarray(b["points_mask"])))
+            if j + 1 >= args.calib_batches:
+                break
+        print(f"int8: calibrating on {len(calib)} batches")
+        quant = calibrate(
+            model, {"params": params, "batch_stats": batch_stats}, calib
+        )["quant"]
+
+    infer = make_infer_fn(model, quant=quant)
 
     def serving_fn(points, points_mask):
         return infer(params, batch_stats, points, points_mask)
