@@ -24,6 +24,8 @@ from pillarnet_lts_tpu.apis import build_model_from_cfg
 from pillarnet_lts_tpu.runtime.quantize import calibrate
 from pillarnet_lts_tpu.utils.config import Config
 
+CFG_PATH = "configs/demo/pillarnet18_demo.py"
+
 
 def _demo_model(quant):
     cfg = Config.fromfile("configs/demo/pillarnet18_demo.py")
@@ -168,6 +170,97 @@ def test_int8_serving_export_roundtrip():
         else:
             np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-5,
                                        err_msg=k)
+
+
+@pytest.mark.slow
+def test_int8_preserves_trained_accuracy(tmp_path):
+    """PTQ on a model that actually detects: overfit the demo set (same
+    recipe as tests/test_learning.py), then assert int8 demo mAP matches
+    the fp mAP within a small PTQ budget. This is the in-environment
+    stand-in for the <0.3 NDS-delta requirement on real data — a broken
+    quant scale, epilogue, or mask interaction collapses the int8 mAP."""
+    import optax
+
+    from pillarnet_lts_tpu.datasets import build_dataset
+    from pillarnet_lts_tpu.datasets.loader import DataLoader
+    from pillarnet_lts_tpu.eval_utils import detections_to_host, make_infer_fn
+    from pillarnet_lts_tpu.parallel.train_state import TrainState
+    from pillarnet_lts_tpu.parallel.train_step import make_train_step
+    from pillarnet_lts_tpu.runtime import recompute_batch_stats
+
+    cfg = Config.fromfile(CFG_PATH)
+    n_frames, n_points, max_points = 4, 2048, 4096
+    pre = dict(cfg.train_pipeline[0]["cfg"])
+    pre.update(no_augmentation=True, shuffle_points=False)
+    ds_cfg = dict(cfg.data["train"])
+    ds_cfg.update(num_frames=n_frames, num_points=n_points)
+    ds_cfg["pipeline"] = [
+        dict(type="Preprocess", cfg=pre),
+        dict(type="AssignLabel", cfg=cfg.train_cfg["assigner"]),
+        dict(type="Reformat"),
+    ]
+    loader = DataLoader(
+        build_dataset(ds_cfg), batch_size=n_frames, shuffle=False,
+        num_workers=1, max_points=max_points, drop_last=False,
+    )
+    raw = next(iter(loader))
+    keys = ("points", "points_mask", "hm", "anno_box", "ind", "mask",
+            "cat", "gt_box", "gt_boxes_and_cls")
+    batch = {
+        k: ([jnp.asarray(x) for x in v] if isinstance(v, list)
+            else jnp.asarray(v))
+        for k, v in raw.items() if k in keys
+    }
+
+    model = build_model_from_cfg(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["points"], batch["points_mask"],
+        train=False,
+    )
+    tx = optax.chain(optax.clip_by_global_norm(35.0), optax.adam(3e-3))
+    state = TrainState.create(variables, tx)
+    step = jax.jit(
+        make_train_step(model, tx, dict(cfg.train_cfg)), donate_argnums=(0,)
+    )
+    for _ in range(200):
+        state, _ = step(state, batch)
+    state = recompute_batch_stats(model, state, [batch])
+
+    eval_cfg = dict(cfg.data["train"])
+    eval_cfg.update(num_frames=n_frames, num_points=n_points)
+    eval_cfg["pipeline"] = [dict(type="Reformat")]
+    eval_ds = build_dataset({**eval_cfg, "test_mode": True})
+    eb = next(iter(DataLoader(
+        eval_ds, batch_size=n_frames, shuffle=False, num_workers=1,
+        max_points=max_points, drop_last=False,
+    )))
+    pts, msk = jnp.asarray(eb["points"]), jnp.asarray(eb["points_mask"])
+
+    def m_ap(infer, params, batch_stats, out):
+        det = infer(params, batch_stats, pts, msk)
+        samples = detections_to_host(det, eb["metadata"])
+        result, _ = eval_ds.evaluation(
+            {s["metadata"]["token"]: s for s in samples},
+            output_dir=str(out),
+        )
+        return result["detail"]["demo"]["mAP"]
+
+    fp = m_ap(make_infer_fn(model), state.params, state.batch_stats,
+              tmp_path / "fp")
+
+    cfg_q = Config.fromfile(CFG_PATH)
+    cfg_q.model["backbone"]["quant"] = True
+    model_q = build_model_from_cfg(cfg_q)
+    vq = calibrate(
+        model_q,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        [(pts, msk)],
+    )
+    q = m_ap(make_infer_fn(model_q, quant=vq["quant"]),
+             state.params, state.batch_stats, tmp_path / "q")
+
+    assert fp > 0.5, f"fp model failed to overfit (mAP {fp:.3f})"
+    assert q >= fp - 0.15, f"int8 mAP {q:.3f} vs fp {fp:.3f}"
 
 
 def test_weight_quant_roundtrip_error_bound():
