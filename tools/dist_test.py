@@ -59,7 +59,9 @@ def main():
     os.makedirs(work_dir, exist_ok=True)
 
     if args.int8:
-        cfg.model["backbone"]["quant"] = True
+        from pillarnet_lts_tpu.runtime.quantize import enable_backbone_quant
+
+        enable_backbone_quant(cfg.model)
     model = build_model_from_cfg(cfg)
     split = "test" if args.testset else "val"
     dataset = build_dataset(cfg.data[split])

@@ -66,7 +66,9 @@ def main():
 
     cfg = Config.fromfile(args.config)
     if args.int8:
-        cfg.model["backbone"]["quant"] = True
+        from pillarnet_lts_tpu.runtime.quantize import enable_backbone_quant
+
+        enable_backbone_quant(cfg.model)
     model = build_model_from_cfg(cfg)
     n_pts = args.max_points or cfg.data.get("max_points") or 300_000
 
