@@ -30,7 +30,7 @@ def enable_backbone_quant(model_cfg):
     return model_cfg
 
 
-def calibrate(model, variables, batches):
+def calibrate(model, variables, batches, reduce="max"):
     """Collect int8 activation scales over calibration batches.
 
     Args:
@@ -38,6 +38,10 @@ def calibrate(model, variables, batches):
       variables: init/checkpoint variables (params + batch_stats, no 'quant'
         collection — if one is present it is dropped and re-collected).
       batches: iterable of (points, points_mask) device/np arrays.
+      reduce: how to merge per-batch absmax observations — 'max' (never
+        clips a calibration activation; outlier-sensitive) or 'mean'
+        (average of per-batch maxima, the standard moving-average observer;
+        clips rare outliers for finer resolution on the bulk).
 
     Returns:
       variables dict with a calibrated 'quant' collection added.
@@ -49,10 +53,18 @@ def calibrate(model, variables, batches):
         _, aux = model.apply(base, p, m, train=False, mutable=["quant"])
         return aux["quant"]
 
-    quant = None
-    for p, m in batches:
-        q = jax.device_get(one(jnp.asarray(p), jnp.asarray(m)))
-        quant = q if quant is None else jax.tree.map(jnp.maximum, quant, q)
-    if quant is None:
+    per_batch = [
+        jax.device_get(one(jnp.asarray(p), jnp.asarray(m)))
+        for p, m in batches
+    ]
+    if not per_batch:
         raise ValueError("calibrate() needs at least one batch")
-    return {**base, "quant": jax.tree.map(jnp.asarray, quant)}
+    if reduce == "max":
+        quant = jax.tree.map(lambda *xs: jnp.asarray(max(xs)), *per_batch)
+    elif reduce == "mean":
+        quant = jax.tree.map(
+            lambda *xs: jnp.asarray(sum(xs) / len(xs)), *per_batch
+        )
+    else:
+        raise ValueError(f"unknown reduce {reduce!r}")
+    return {**base, "quant": quant}

@@ -78,6 +78,11 @@ def test_calibrate_merges_batch_maxima():
     for s, b in zip(jax.tree.leaves(v_small["quant"]),
                     jax.tree.leaves(v_both["quant"])):
         assert float(s) <= float(b) + 1e-6
+    # mean reduction: bounded by the max reduction, strictly positive
+    v_mean = calibrate(m, base, [small, big], reduce="mean")
+    for a, b in zip(jax.tree.leaves(v_mean["quant"]),
+                    jax.tree.leaves(v_both["quant"])):
+        assert 0 < float(a) <= float(b) + 1e-6
 
 
 def test_int8_forward_tracks_fp32():
