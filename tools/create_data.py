@@ -26,10 +26,15 @@ def nuscenes_data_prep(root_path, version="v1.0-trainval", nsweeps=10,
         f"infos_train_{nsweeps:02d}sweeps_withvelo_filter_{filter_zero}.pkl",
     )
     if not os.path.exists(info_path):
-        raise FileNotFoundError(
-            f"{info_path} missing — generate infos with the nuscenes-devkit "
-            "converter first (create_nuscenes_infos)"
+        # first run: build the info pkls (needs nuscenes-devkit)
+        from pillarnet_lts_tpu.datasets.nuscenes.nusc_common import (
+            create_nuscenes_infos,
         )
+
+        create_nuscenes_infos(root_path, version=version, nsweeps=nsweeps,
+                              filter_zero=filter_zero)
+    if version == "v1.0-test":
+        return  # no GT database for the test split
     create_groundtruth_database(
         "NuScenesDataset", root_path, info_path, nsweeps=nsweeps
     )
@@ -44,9 +49,16 @@ def waymo_data_prep(root_path, split="train", nsweeps=1):
         root_path, f"infos_{split}_{nsweeps:02d}sweeps_filter_zero_gt.pkl"
     )
     if not os.path.exists(info_path):
-        raise FileNotFoundError(
-            f"{info_path} missing — run the tfrecord converter first"
+        # first run: build the info pkls from the extracted frames (run the
+        # tfrecord extractor `datasets/waymo/waymo_converter.py` before this
+        # — it needs the waymo-open-dataset devkit)
+        from pillarnet_lts_tpu.datasets.waymo.waymo_infos import (
+            create_waymo_infos,
         )
+
+        create_waymo_infos(root_path, split=split, nsweeps=nsweeps)
+    if split != "train":
+        return  # GT-AUG database only augments training
     create_groundtruth_database(
         "WaymoDataset", root_path, info_path, nsweeps=nsweeps,
         used_classes=["VEHICLE", "PEDESTRIAN", "CYCLIST"],
