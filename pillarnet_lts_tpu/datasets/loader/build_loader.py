@@ -81,12 +81,14 @@ class DataLoader:
         sentinel = object()
         counters = {"produced": 0}
 
+        stop = {"flag": False}
+
         def worker():
             # a worker that dies for ANY reason must still put its sentinel
             # (or the exception), otherwise __iter__ blocks on q.get forever
             # — one corrupt sample would silently stall the whole run
             try:
-                while True:
+                while not stop["flag"]:
                     with lock:
                         batch_idx = next(batch_iter, None)
                     if batch_idx is None:
@@ -107,17 +109,26 @@ class DataLoader:
 
         finished = 0
         yielded = 0
-        while finished < len(threads) and yielded < nb:
-            item = q.get()
-            if item is sentinel:
-                finished += 1
-                continue
-            if isinstance(item, BaseException):
-                raise RuntimeError(
-                    "data loader worker failed"
-                ) from item
-            yielded += 1
-            yield item
+        try:
+            while finished < len(threads) and yielded < nb:
+                item = q.get()
+                if item is sentinel:
+                    finished += 1
+                    continue
+                if isinstance(item, BaseException):
+                    raise RuntimeError(
+                        "data loader worker failed"
+                    ) from item
+                yielded += 1
+                yield item
+        finally:
+            # abandoned iterator (caller broke out early, e.g. calibration
+            # loops / next(iter(loader))): tell workers to stop and drain
+            # the queue so none stays blocked on q.put holding a batch
+            stop["flag"] = True
+            while finished < len(threads):
+                if q.get() is sentinel:
+                    finished += 1
 
 
 def build_dataloader(dataset, batch_size, workers_per_gpu, shuffle=True,

@@ -237,6 +237,13 @@ class _PillarResNetBase(nn.Module):
         """
         import jax
 
+        if self.quant:
+            raise NotImplementedError(
+                "the int8 deploy path requires the dense reader "
+                "(reader.compact_kmax=0); the compact gather execution "
+                "reads conv kernels directly and would silently run "
+                "full-precision"
+            )
         c = self.in_channels
         H, W = cp.height, cp.width
         kmax = cp.site_ids.shape[1]

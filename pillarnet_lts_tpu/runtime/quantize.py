@@ -49,12 +49,12 @@ def calibrate(model, variables, batches, reduce="max"):
     base = {k: v for k, v in variables.items() if k != "quant"}
 
     @jax.jit
-    def one(p, m):
-        _, aux = model.apply(base, p, m, train=False, mutable=["quant"])
+    def one(v, p, m):
+        _, aux = model.apply(v, p, m, train=False, mutable=["quant"])
         return aux["quant"]
 
     per_batch = [
-        jax.device_get(one(jnp.asarray(p), jnp.asarray(m)))
+        jax.device_get(one(base, jnp.asarray(p), jnp.asarray(m)))
         for p, m in batches
     ]
     if not per_batch:

@@ -28,7 +28,7 @@ CFG_PATH = "configs/demo/pillarnet18_demo.py"
 
 
 def _demo_model(quant):
-    cfg = Config.fromfile("configs/demo/pillarnet18_demo.py")
+    cfg = Config.fromfile(CFG_PATH)
     cfg.model["backbone"]["quant"] = quant
     return build_model_from_cfg(cfg)
 

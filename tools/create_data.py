@@ -21,10 +21,17 @@ def nuscenes_data_prep(root_path, version="v1.0-trainval", nsweeps=10,
         create_groundtruth_database,
     )
 
-    info_path = os.path.join(
-        root_path,
-        f"infos_train_{nsweeps:02d}sweeps_withvelo_filter_{filter_zero}.pkl",
-    )
+    # the converter writes infos_test_* for v1.0-test, infos_train_*/val_*
+    # otherwise — key the first-run check on the split actually requested
+    if version == "v1.0-test":
+        info_path = os.path.join(
+            root_path, f"infos_test_{nsweeps:02d}sweeps_withvelo.pkl"
+        )
+    else:
+        info_path = os.path.join(
+            root_path,
+            f"infos_train_{nsweeps:02d}sweeps_withvelo_filter_{filter_zero}.pkl",
+        )
     if not os.path.exists(info_path):
         # first run: build the info pkls (needs nuscenes-devkit)
         from pillarnet_lts_tpu.datasets.nuscenes.nusc_common import (
