@@ -163,21 +163,32 @@ class Trainer:
             self._infer_fn = make_infer_fn(model, test_cfg)
         infer = self._infer_fn
 
+        # pipelined: keep a few batches in flight so the per-dispatch round
+        # trip overlaps device compute (runtime/serving.py; mirrors
+        # tools/dist_test.py)
+        from .serving import ServingPipeline
+
+        pipe = ServingPipeline(infer, depth=4)
+        metas_q = []
+
+        def _args():
+            for batch in data_loader:
+                metas = batch["metadata"]
+                if test_cfg.get("double_flip", False):
+                    # predict collapses the 4-variant groups to B/4 rows;
+                    # keep one metadata entry per frame
+                    metas = metas[::4]
+                metas_q.append(metas)
+                device_batch = self._to_device(
+                    {"points": batch["points"],
+                     "points_mask": batch["points_mask"]}
+                )
+                yield (self.state.params, self.state.batch_stats,
+                       device_batch["points"], device_batch["points_mask"])
+
         detections = {}
-        for i, batch in enumerate(data_loader):
-            device_batch = self._to_device(
-                {"points": batch["points"], "points_mask": batch["points_mask"]}
-            )
-            det = infer(
-                self.state.params, self.state.batch_stats,
-                device_batch["points"], device_batch["points_mask"],
-            )
-            metas = batch["metadata"]
-            if test_cfg.get("double_flip", False):
-                # predict collapses the 4-variant groups to B/4 rows; keep one
-                # metadata entry per frame (mirrors tools/dist_test.py)
-                metas = metas[::4]
-            for sample in detections_to_host(det, metas):
+        for i, det in enumerate(pipe.map(_args())):
+            for sample in detections_to_host(det, metas_q[i]):
                 detections[sample["metadata"]["token"]] = sample
             if i % 50 == 0:
                 self.logger.info("val batch %d/%d", i, len(data_loader))
