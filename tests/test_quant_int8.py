@@ -304,6 +304,47 @@ def test_int8_preserves_trained_accuracy(tmp_path):
     assert q >= fp - 0.15, f"int8 mAP {q:.3f} vs fp {fp:.3f}"
 
 
+def test_int8_chunked_equals_unchunked():
+    """Overlapped W-tiling must be numerically invisible in int8 mode too:
+    the integer conv core is bit-exact under tiling (same int8 inputs, same
+    taps), and the dequant epilogue is pointwise — so the chunked and plain
+    backbones must agree exactly. This is the configuration the flagship
+    TPU config runs (W=1440 >= chunk_min_w) but demo-size CPU tests never
+    reach with the default chunk_min_w=512."""
+    from pillarnet_lts_tpu.models.backbones.pillar_resnet import (
+        PillarResNet18S,
+    )
+
+    rng = np.random.RandomState(1)
+    H = W = 64
+    mask = jnp.asarray(rng.rand(1, H, W) < 0.12)
+    grid = jnp.asarray(
+        rng.randn(1, H, W, 16).astype(np.float32)
+    ) * mask[..., None]
+
+    kw = dict(in_channels=16, quant=True)
+    bb_plain = PillarResNet18S(chunk_nc=0, **kw)
+    bb_chunk = PillarResNet18S(chunk_nc=8, chunk_min_w=16, **kw)
+
+    v = bb_plain.init(jax.random.PRNGKey(0), grid, mask, train=False)
+    base = {k: x for k, x in v.items() if k != "quant"}
+    _, aux = bb_plain.apply(base, grid, mask, train=False,
+                            mutable=["quant"])
+    vq = {**base, "quant": aux["quant"]}
+
+    out_p = bb_plain.apply(vq, grid, mask, train=False)
+    out_c = bb_chunk.apply(vq, grid, mask, train=False)
+    for name in out_p:
+        a, m_a = out_p[name]
+        b, m_b = out_c[name]
+        if m_a is not None:
+            np.testing.assert_array_equal(np.asarray(m_a), np.asarray(m_b))
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=0, atol=0, err_msg=name,
+        )
+
+
 def test_weight_quant_roundtrip_error_bound():
     """Per-out-channel symmetric quantization reconstructs each weight to
     within half an LSB of its channel scale."""
