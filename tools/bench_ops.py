@@ -87,6 +87,60 @@ def main():
 
     timeit("scatter-max Pallas (262k -> 1440^2)", scat_pallas, feats, ids, ok)
 
+    # --- int8 vs bf16 conv cores (deploy-path decision numbers) ----------
+    # conv1 runs s2d (720^2 x 128) and conv2 fine (720^2 x 64) in the
+    # flagship model; the int8 deploy path wins iff the MXU's double-rate
+    # int8 mode survives XLA's conv lowering at these shapes.
+    from jax import lax
+
+    key = jax.random.PRNGKey(0)
+
+    def conv_ab(hw, cin, cout, nconv, name):
+        xb = jax.jit(
+            lambda k: jax.random.normal(k, (1, hw, hw, cin), jnp.bfloat16)
+        )(key)
+        wb = jax.jit(
+            lambda k: jax.random.normal(k, (3, 3, cin, cout), jnp.bfloat16)
+            * 0.1
+        )(key)
+
+        @jax.jit
+        def chain_bf(x, w):
+            for _ in range(nconv):
+                x = jax.nn.relu(lax.conv_general_dilated(
+                    x, w, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")))
+            return x.astype(jnp.float32).sum()
+
+        timeit(f"{name} bf16 x{nconv}", chain_bf, xb, wb)
+
+        wi = jax.jit(
+            lambda k: jax.random.randint(k, (3, 3, cin, cout), -127, 127,
+                                         jnp.int8)
+        )(key)
+        sx = jnp.float32(0.05)
+
+        @jax.jit
+        def chain_i8(x, w):
+            acc = x
+            for _ in range(nconv):
+                q = jnp.clip(
+                    jnp.round(acc.astype(jnp.float32) * (1.0 / sx)),
+                    -127, 127,
+                ).astype(jnp.int8)
+                y = lax.conv_general_dilated(
+                    q, w, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                acc = jax.nn.relu(
+                    (y.astype(jnp.float32) * 1e-4).astype(jnp.bfloat16))
+            return acc.astype(jnp.float32).sum()
+
+        timeit(f"{name} int8(deployed form) x{nconv}", chain_i8, xb, wi)
+
+    conv_ab(720, 128, 128, 6, "conv1-s2d(720^2x128)")
+    conv_ab(720, 64, 64, 8, "conv2(720^2x64)")
+
 
 if __name__ == "__main__":
     main()
