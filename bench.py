@@ -38,7 +38,7 @@ import numpy as np
 BASELINE_FPS = 20.0
 
 
-def _measure(config_path, n_frames=24):
+def _measure(config_path, n_frames=24, int8=False):
     import jax
     import jax.numpy as jnp
 
@@ -64,6 +64,16 @@ def _measure(config_path, n_frames=24):
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), *real_clouds[0], train=False
     )
+    if int8:
+        # PTQ: calibrate activation scales on two realistic clouds, then
+        # the same fn traces the int8 graph (quant collection present)
+        from pillarnet_lts_tpu.runtime.quantize import calibrate
+
+        variables = calibrate(
+            model,
+            {k: v for k, v in variables.items() if k != "quant"},
+            real_clouds[:2],
+        )
 
     @jax.jit
     def fn(v, points, points_mask):
@@ -266,6 +276,22 @@ def main():
         root, "configs/pillarnet/pillarnet34_nusc_bf16.py"
     )
     m = _measure(cfg_path)
+
+    # int8 deploy-path serving numbers (BENCH_INT8=0 skips: two extra
+    # 2-6 min TPU compiles; enable once the chip A/B has confirmed the
+    # int8 lowering — see docs/ROADMAP.md)
+    m8 = None
+    if os.environ.get("BENCH_INT8", "1") not in ("0", "false"):
+        try:
+            m8 = _measure(
+                os.path.join(
+                    root, "configs/pillarnet/pillarnet34_nusc_int8.py"
+                ),
+                int8=True,
+            )
+        except Exception as e:
+            print(f"# int8 measurement failed: {type(e).__name__}: "
+                  f"{str(e)[:300]}", file=sys.stderr)
     train_step_s = None
     train_remat = False
     # bs >= 2 needs remat: the plain backward's fp32 BN/conv temps OOM a
@@ -298,6 +324,15 @@ def main():
         "dispatch_floor_ms": round(m["dispatch_floor"] * 1000, 2),
         "compile_s": round(m["compile_s"], 1),
     }
+    if m8 is not None:
+        record.update({
+            "int8_fps_bs1": round(1.0 / m8["real_p50"], 3),
+            "int8_onchip_p50_ms": round(
+                (m8["real_p50"] - m8["dispatch_floor"]) * 1000, 2
+            ),
+            "int8_pipelined_fps": round(1.0 / m8["pipelined"], 3),
+            "int8_fps_bs4": round(4.0 / m8["bs4"], 3),
+        })
     if train_step_s is not None:
         record[f"train_samples_per_sec_bs{train_bs}"] = round(
             train_bs / train_step_s, 3
