@@ -47,6 +47,10 @@ def _measure(config_path, n_frames=24, int8=False):
     from pillarnet_lts_tpu.utils.config import Config
 
     cfg = Config.fromfile(config_path)
+    if int8:
+        from pillarnet_lts_tpu.runtime.quantize import enable_backbone_quant
+
+        enable_backbone_quant(cfg.model)
     model = build_model_from_cfg(cfg)
     test_cfg = model.processed_test_cfg()
 

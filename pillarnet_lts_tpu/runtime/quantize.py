@@ -51,6 +51,11 @@ def calibrate(model, variables, batches, reduce="max"):
     @jax.jit
     def one(v, p, m):
         _, aux = model.apply(v, p, m, train=False, mutable=["quant"])
+        if "quant" not in aux:
+            raise ValueError(
+                "no conv observed an activation scale — was the model "
+                "built with backbone quant=True? (enable_backbone_quant)"
+            )
         return aux["quant"]
 
     per_batch = [

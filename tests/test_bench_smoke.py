@@ -1,0 +1,22 @@
+"""bench.py must always run unattended (the driver records its one JSON
+line at round close). Smoke the measurement path — bf16 and int8 — on the
+CPU-sized demo config so wiring regressions surface in CI, not in the
+round-end TPU run."""
+
+import os
+
+import pytest
+
+import bench
+
+
+@pytest.mark.slow
+def test_measure_smoke_bf16_and_int8():
+    cfg = os.path.join(os.path.dirname(bench.__file__),
+                       "configs", "demo", "pillarnet18_demo.py")
+    for int8 in (False, True):
+        m = bench._measure(cfg, n_frames=3, int8=int8)
+        assert m["real_p50"] > 0
+        assert m["pipelined"] > 0
+        assert m["bs4"] > 0
+        assert m["dispatch_floor"] >= 0
