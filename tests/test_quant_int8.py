@@ -175,6 +175,53 @@ def test_two_stage_int8_forward():
 
 
 @pytest.mark.slow
+def test_int8_spatial_sharding_equals_unsharded():
+    """int8 conv cores under BEV spatial sharding: the H-sharded quantized
+    forward over an 8-device mesh must equal the unsharded quantized
+    forward (GSPMD halo exchange on int8 operands; integer convs make the
+    comparison exact up to the fp dequant epilogue)."""
+    from jax.sharding import Mesh
+
+    from pillarnet_lts_tpu.models import build_detector
+
+    cfg = Config.fromfile(CFG_PATH)
+    mq = build_detector(
+        {**dict(cfg.model),
+         "backbone": {**dict(cfg.model["backbone"]), "quant": True}},
+        train_cfg=cfg.train_cfg, test_cfg=cfg.test_cfg,
+    )
+    mq_sp = build_detector(
+        {**dict(cfg.model),
+         "backbone": {**dict(cfg.model["backbone"]), "quant": True},
+         "spatial_axis": "sp"},
+        train_cfg=cfg.train_cfg, test_cfg=cfg.test_cfg,
+    )
+    pts, msk = _inputs(4)
+    base = {
+        k: v
+        for k, v in mq.init(
+            jax.random.PRNGKey(0), pts, msk, train=False
+        ).items()
+        if k != "quant"
+    }
+    vq = calibrate(mq, base, [(pts, msk)])
+    want = jax.jit(lambda v, p, m: mq.apply(v, p, m, train=False))(
+        vq, pts, msk
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+    with jax.set_mesh(mesh):
+        got = jax.jit(lambda v, p, m: mq_sp.apply(v, p, m, train=False))(
+            vq, pts, msk
+        )
+        jax.block_until_ready(got)
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-4, atol=1e-4,
+        )
+
+
+@pytest.mark.slow
 def test_int8_serving_export_roundtrip():
     """The quantized graph must survive jax.export serialization: the
     int8 conv cores and baked calibration scales reproduce the live jitted
