@@ -281,11 +281,12 @@ def main():
     )
     m = _measure(cfg_path)
 
-    # int8 deploy-path serving numbers (BENCH_INT8=0 skips: two extra
-    # 2-6 min TPU compiles; enable once the chip A/B has confirmed the
-    # int8 lowering — see docs/ROADMAP.md)
+    # int8 deploy-path serving numbers. Default OFF until the chip A/B has
+    # confirmed the int8 conv lowering (docs/ROADMAP.md): a new XLA graph
+    # can HANG the remote compile path, which no try/except catches — and
+    # this record must always be emitted. Enable with BENCH_INT8=1.
     m8 = None
-    if os.environ.get("BENCH_INT8", "1") not in ("0", "false"):
+    if os.environ.get("BENCH_INT8", "0") == "1":
         try:
             m8 = _measure(
                 os.path.join(

@@ -33,6 +33,35 @@ def make_infer_fn(model, test_cfg=None, quant=None):
     return infer
 
 
+def pipelined_infer(infer, batches, make_args, metas_of, depth=4,
+                    on_progress=None):
+    """Run `infer` over `batches` with up to `depth` dispatches in flight,
+    yielding (host_detections, metadata) pairs in batch order.
+
+    Single shared implementation for `Trainer.val` and `tools/dist_test.py`
+    (the metadata queue must stay in lockstep with the lazily-consumed
+    argument generator — subtle enough to keep in one place).
+
+    make_args(batch) -> infer argument tuple; metas_of(batch) -> the
+    per-sample metadata list (caller handles double-flip [::4] slicing);
+    on_progress(i) called per yielded batch.
+    """
+    from .runtime.serving import ServingPipeline
+
+    pipe = ServingPipeline(infer, depth=depth)
+    metas_q = []
+
+    def _args():
+        for batch in batches:
+            metas_q.append(metas_of(batch))
+            yield make_args(batch)
+
+    for i, det in enumerate(pipe.map(_args())):
+        if on_progress is not None:
+            on_progress(i)
+        yield det, metas_q[i]
+
+
 def detections_to_host(det, metadata):
     """Split a batched padded detection dict into per-sample dicts.
 

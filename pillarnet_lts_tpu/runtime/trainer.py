@@ -164,34 +164,35 @@ class Trainer:
         infer = self._infer_fn
 
         # pipelined: keep a few batches in flight so the per-dispatch round
-        # trip overlaps device compute (runtime/serving.py; mirrors
-        # tools/dist_test.py)
-        from .serving import ServingPipeline
+        # trip overlaps device compute (eval_utils.pipelined_infer; shared
+        # with tools/dist_test.py)
+        from ..eval_utils import pipelined_infer
 
-        pipe = ServingPipeline(infer, depth=4)
-        metas_q = []
+        double_flip = test_cfg.get("double_flip", False)
 
-        def _args():
-            for batch in data_loader:
-                metas = batch["metadata"]
-                if test_cfg.get("double_flip", False):
-                    # predict collapses the 4-variant groups to B/4 rows;
-                    # keep one metadata entry per frame
-                    metas = metas[::4]
-                metas_q.append(metas)
-                device_batch = self._to_device(
-                    {"points": batch["points"],
-                     "points_mask": batch["points_mask"]}
-                )
-                yield (self.state.params, self.state.batch_stats,
-                       device_batch["points"], device_batch["points_mask"])
+        def make_args(batch):
+            db = self._to_device(
+                {"points": batch["points"],
+                 "points_mask": batch["points_mask"]}
+            )
+            return (self.state.params, self.state.batch_stats,
+                    db["points"], db["points_mask"])
 
-        detections = {}
-        for i, det in enumerate(pipe.map(_args())):
-            for sample in detections_to_host(det, metas_q[i]):
-                detections[sample["metadata"]["token"]] = sample
+        def metas_of(batch):
+            # predict collapses the 4 flip variants to B/4 rows; keep one
+            # metadata entry per frame
+            return (batch["metadata"][::4] if double_flip
+                    else batch["metadata"])
+
+        def progress(i):
             if i % 50 == 0:
                 self.logger.info("val batch %d/%d", i, len(data_loader))
+
+        detections = {}
+        for det, metas in pipelined_infer(infer, data_loader, make_args,
+                                          metas_of, on_progress=progress):
+            for sample in detections_to_host(det, metas):
+                detections[sample["metadata"]["token"]] = sample
 
         if process_count() > 1:
             sync_global_devices("val_gather")

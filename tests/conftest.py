@@ -1,4 +1,9 @@
 import os
+import sys
+
+# the package is not pip-installed: make the suite runnable from any cwd
+# (pillarnet_lts_tpu + repo-root modules like bench.py / __graft_entry__.py)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
 # exercised without TPU hardware (SURVEY.md §4 test strategy).

@@ -4,10 +4,13 @@ CPU-sized demo config so wiring regressions surface in CI, not in the
 round-end TPU run."""
 
 import os
+import sys
 
 import pytest
 
-import bench
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import bench  # noqa: E402 — repo-root module, not in the package
 
 
 @pytest.mark.slow

@@ -163,28 +163,27 @@ def main():
               f"({1.0 / per_frame:.2f} FPS)")
     else:
         # pipelined eval: keep 4 batches in flight so the per-dispatch
-        # round trip overlaps device compute (runtime/serving.py; ~1.3x
-        # wall-clock on the measured relay)
-        from pillarnet_lts_tpu.runtime.serving import ServingPipeline
+        # round trip overlaps device compute (eval_utils.pipelined_infer;
+        # ~1.3x wall-clock on the measured relay)
+        from pillarnet_lts_tpu.eval_utils import pipelined_infer
 
-        pipe = ServingPipeline(infer, depth=4)
-        metas_q = []
+        def make_args(batch):
+            return (state.params, state.batch_stats,
+                    jnp.asarray(batch["points"]),
+                    jnp.asarray(batch["points_mask"]))
 
-        def _args():
-            for batch in loader:
-                metas_q.append(
-                    batch["metadata"][::4] if double_flip
-                    else batch["metadata"]
-                )
-                yield (state.params, state.batch_stats,
-                       jnp.asarray(batch["points"]),
-                       jnp.asarray(batch["points_mask"]))
+        def metas_of(batch):
+            return (batch["metadata"][::4] if double_flip
+                    else batch["metadata"])
 
-        for i, det in enumerate(pipe.map(_args())):
-            for sample in detections_to_host(det, metas_q[i]):
-                detections[sample["metadata"]["token"]] = sample
+        def progress(i):
             if i % 50 == 0:
                 logger.info("batch %d/%d", i, n_batches)
+
+        for det, metas in pipelined_infer(infer, loader, make_args,
+                                          metas_of, on_progress=progress):
+            for sample in detections_to_host(det, metas):
+                detections[sample["metadata"]["token"]] = sample
 
     # multi-host eval: gather per-host detections before evaluation
     # (reference `torchie/trainer/utils.py:114` all_gather at
