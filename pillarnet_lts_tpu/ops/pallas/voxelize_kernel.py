@@ -308,7 +308,7 @@ def _mxu_kernel(tile_starts_ref, ids_ref, feats_ref, grid_ref,
 
 
 def _mxu_kernel_cg(tbl_ref, ids_ref, feats_ref, grid_ref, *, tile_pillars,
-                   occ_col, id_col, dot_dtype, nonneg):
+                   occ_col, id_col, dot_dtype, nonneg, pack=1):
     """Chunk-scheduled variant: ONE point chunk per grid step.
 
     The tile-scheduled kernel (`_mxu_kernel`) runs a manual double-buffered
@@ -319,6 +319,19 @@ def _mxu_kernel_cg(tbl_ref, ids_ref, feats_ref, grid_ref, *, tile_pillars,
     of one tile revisit the same output block (Pallas keeps it resident in
     VMEM and flushes on index change), and input chunks are pipelined by
     the normal BlockSpec machinery instead of hand-rolled DMA.
+
+    `pack` > 1 folds `pack` consecutive pillars into one output row (each
+    pillar's payload pre-placed at lane offset (C+1)*(pillar %% pack) on the
+    XLA side): the one-hot routes pillar//pack, shrinking both the one-hot
+    materialization and the output grid by `pack`x. Requires `nonneg` (the
+    occupancy-gated combine is per-row, which is wrong across lane groups).
+
+    Measured-and-rejected as a perf lever (kept tested, default pack=1):
+    at the flagship 262k -> 1440^2 x 32 workload, pack=3 is bit-equal but
+    ~4.5 ms SLOWER end-to-end (13.4 -> 17.9 ms on-chip). Isolated timing
+    pins ~4.9 ms on the lane-unaligned unfold epilogue (slices at offsets
+    33/66) and ~0.4 ms of actual kernel-side gain — i.e. the kernel is not
+    one-hot- or grid-traffic-bound, so shrinking both buys nothing.
     """
     s = pl.program_id(0)
     t = tbl_ref[0, s]
@@ -356,11 +369,14 @@ def _mxu_kernel_cg(tbl_ref, ids_ref, feats_ref, grid_ref, *, tile_pillars,
         vals = jnp.where(idc != prev, vals, 0.0)
 
         row = ids_ref[pl.ds(jax.lax.rem(g, 8), 1), :]  # (1, CHUNK) int32
+        rows_per_tile = tile_pillars // pack
+        if pack > 1:
+            row = row // pack
         row_ids = (
             jax.lax.broadcasted_iota(
-                jnp.int32, (tile_pillars, _MXU_CHUNK), 0
+                jnp.int32, (rows_per_tile, _MXU_CHUNK), 0
             )
-            + t * tile_pillars
+            + t * rows_per_tile
         )
         onehot = (row == row_ids).astype(dot_dtype)
         contrib = jax.lax.dot_general(
@@ -386,16 +402,20 @@ def _mxu_kernel_cg(tbl_ref, ids_ref, feats_ref, grid_ref, *, tile_pillars,
             grid_ref[:] = jnp.where(touched, upd, cur)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def pillar_scatter_max_mxu(point_feats, flat_ids, valid, height, width,
-                           tile_rows=2, nonneg=False):
+                           tile_rows=2, nonneg=False, pack=1):
     """Same contract as `pillar_scatter_max_pallas`, MXU-matmul backend.
 
     `nonneg=True` asserts every valid feature is >= 0 (true for post-ReLU
     PFE features); the kernel then combines chunks with one plain max pass
-    instead of occupancy-gated selects (measured 14.6 -> see ROADMAP)."""
+    instead of occupancy-gated selects (measured 14.6 -> see ROADMAP).
+
+    `pack` > 1 (requires nonneg) lane-packs `pack` consecutive pillars per
+    output row — see `_mxu_kernel_cg`; needs pack*(C+1)+2 <= 128 lanes and
+    tile_rows*width divisible by pack."""
     return _scatter_mxu_impl(point_feats, flat_ids, valid, height, width,
-                             tile_rows, nonneg)
+                             tile_rows, nonneg, pack)
 
 
 # schedule selector for the MXU scatter: 'tile' = per-tile chunk loop
@@ -415,14 +435,26 @@ def set_mxu_schedule(name):
 
 
 def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows,
-                      nonneg=False):
+                      nonneg=False, pack=1):
     out_dtype = point_feats.dtype
     B, N, C = point_feats.shape
     hw = height * width
     tile_pillars = tile_rows * width
     num_tiles = -(-height // tile_rows)
     padded_pillars = num_tiles * tile_pillars
-    c_pad = max(128, -(-(C + 3) // 128) * 128)
+    if pack > 1:
+        # lane packing folds `pack` pillars per output row; the gated
+        # (negative-feature) combine is per-row and therefore wrong across
+        # lane groups, so packing is nonneg-only
+        assert nonneg, "pack > 1 requires nonneg=True"
+        assert tile_pillars % pack == 0 and hw % pack == 0
+        c_pad = max(128, -(-(pack * (C + 1) + 2) // 128) * 128)
+    else:
+        c_pad = max(128, -(-(C + 3) // 128) * 128)
+    # the id/key columns sit right after the (packed) payload block, so the
+    # pack == 1 layout is exactly the original [feats | occ | id | key | 0...]
+    id_col = pack * (C + 1)
+    key_col = id_col + 1
     # bf16 inputs round-trip exactly through the fp32 working layout, so a
     # bf16 grid (and bf16 one-hot matmul) is exact; fp32 inputs keep fp32
     acc_dtype = out_dtype if out_dtype == jnp.bfloat16 else jnp.float32
@@ -437,13 +469,29 @@ def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows,
         # row FIRST and gathering ONCE matters: XLA's TPU gather cost is
         # per-index, so three separate gathers by `order` (ids, ok, feats)
         # cost ~3x one 128-wide row gather.
-        row = jnp.concatenate(
+        payload = jnp.concatenate(
             [
                 feats.astype(jnp.float32) * ok[:, None],
                 ok[:, None].astype(jnp.float32),
+            ],
+            axis=-1,
+        )  # (N, C+1): [feats | occ]
+        if pack > 1:
+            # place each pillar's payload at lane offset (C+1)*(id % pack);
+            # invalid rows are all-zero, so their placement is irrelevant
+            grp = (key % pack)[:, None]
+            packed = jnp.concatenate(
+                [jnp.where(grp == g, payload, 0.0) for g in range(pack)],
+                axis=-1,
+            )
+        else:
+            packed = payload
+        row = jnp.concatenate(
+            [
+                packed,
                 jnp.where(ok, key, -2).astype(jnp.float32)[:, None],
                 key.astype(jnp.float32)[:, None],
-                jnp.zeros((N, c_pad - C - 3), jnp.float32),
+                jnp.zeros((N, c_pad - packed.shape[1] - 2), jnp.float32),
             ],
             axis=-1,
         )
@@ -459,11 +507,11 @@ def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows,
         # pillar (the in-kernel dedup scan merges equal-id neighbors)
         pad_row = (
             jnp.zeros((pad_n, c_pad), jnp.float32)
-            .at[:, C + 1].set(-2.0)
-            .at[:, C + 2].set(float(hw))
+            .at[:, id_col].set(-2.0)
+            .at[:, key_col].set(float(hw))
         )
         aug = jnp.concatenate([aug, pad_row])
-        sorted_ids = aug[:, C + 2].astype(jnp.int32)
+        sorted_ids = aug[:, key_col].astype(jnp.int32)
         ids_2d = sorted_ids.reshape(-1, _MXU_CHUNK)
 
         tile_bounds = (
@@ -506,8 +554,8 @@ def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows,
 
             grid = pl.pallas_call(
                 partial(_mxu_kernel_cg, tile_pillars=tile_pillars,
-                        occ_col=C, id_col=C + 1, dot_dtype=acc_dtype,
-                        nonneg=nonneg),
+                        occ_col=C, id_col=id_col, dot_dtype=acc_dtype,
+                        nonneg=nonneg, pack=pack),
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=1,
                     grid=(S,),
@@ -522,15 +570,16 @@ def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows,
                         ),
                     ],
                     out_specs=pl.BlockSpec(
-                        (tile_pillars, c_pad),
+                        (tile_pillars // pack, c_pad),
                         lambda s, tbl: (tbl[0, s], 0),
                     ),
                 ),
                 out_shape=jax.ShapeDtypeStruct(
-                    (padded_pillars, c_pad), acc_dtype
+                    (padded_pillars // pack, c_pad), acc_dtype
                 ),
             )(tbl, ids_2d, aug)
         else:
+            assert pack == 1, "lane packing needs the 'chunk' schedule"
             grid = pl.pallas_call(
                 partial(_mxu_kernel, tile_pillars=tile_pillars, occ_col=C,
                         id_col=C + 1, dot_dtype=acc_dtype, nonneg=nonneg),
@@ -556,22 +605,38 @@ def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows,
                 ),
             )(tile_starts, ids_2d, aug)
 
-        occ = grid[:hw, C] > 0.0
-        out = jnp.where(occ[:, None], grid[:hw, :C], 0.0).astype(out_dtype)
+        if pack > 1:
+            # unfold the lane groups: row r lanes [(C+1)g, (C+1)(g+1)) hold
+            # pillar r*pack + g
+            stride = C + 1
+            per = jnp.stack(
+                [
+                    grid[: hw // pack, g * stride:(g + 1) * stride]
+                    for g in range(pack)
+                ],
+                axis=1,
+            ).reshape(hw, stride)
+            occ = per[:, C] > 0.0
+            out = jnp.where(occ[:, None], per[:, :C], 0.0).astype(out_dtype)
+        else:
+            occ = grid[:hw, C] > 0.0
+            out = jnp.where(
+                occ[:, None], grid[:hw, :C], 0.0
+            ).astype(out_dtype)
         return out.reshape(height, width, C), occ.reshape(height, width)
 
     return jax.vmap(one)(point_feats, flat_ids, valid)
 
 
 def _scatter_mxu_vjp_fwd(point_feats, flat_ids, valid, height, width,
-                         tile_rows, nonneg):
+                         tile_rows, nonneg, pack):
     grid, occ = _scatter_mxu_impl(
-        point_feats, flat_ids, valid, height, width, tile_rows, nonneg
+        point_feats, flat_ids, valid, height, width, tile_rows, nonneg, pack
     )
     return (grid, occ), (point_feats, flat_ids, valid, grid)
 
 
-def _scatter_mxu_vjp_bwd(height, width, tile_rows, nonneg, residuals,
+def _scatter_mxu_vjp_bwd(height, width, tile_rows, nonneg, pack, residuals,
                          cotangents):
     return _scatter_vjp_bwd(height, width, tile_rows, residuals, cotangents)
 

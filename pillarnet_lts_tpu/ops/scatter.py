@@ -20,6 +20,18 @@ from .voxelize import scatter_max_to_grid, scatter_max_to_grid_sorted
 
 _BACKEND = "auto"
 
+# lane-packing factor for the MXU kernel's nonneg path (pillars per output
+# row; see voxelize_kernel._mxu_kernel_cg). Cuts the kernel's one-hot
+# materialization and grid HBM traffic by `pack`x; only legal when
+# pack*(C+1)+2 <= 128 lanes, so it applies to the C=32 reader output.
+_MXU_PACK = 1
+
+
+def set_mxu_pack(pack):
+    global _MXU_PACK
+    assert pack >= 1
+    _MXU_PACK = pack
+
 
 def set_backend(name):
     global _BACKEND
@@ -53,8 +65,13 @@ def pillar_scatter_max(point_feats, flat_ids, valid, height, width,
     if backend == "mxu":
         from .pallas.voxelize_kernel import pillar_scatter_max_mxu
 
+        C = point_feats.shape[-1]
+        pack = _MXU_PACK
+        if (not nonneg or pack * (C + 1) + 2 > 128 or (2 * width) % pack
+                or (height * width) % pack):
+            pack = 1
         return pillar_scatter_max_mxu(
-            point_feats, flat_ids, valid, height, width, 2, nonneg
+            point_feats, flat_ids, valid, height, width, 2, nonneg, pack
         )
     if backend == "sort":
         return scatter_max_to_grid_sorted(

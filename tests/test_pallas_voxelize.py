@@ -178,6 +178,9 @@ def test_mxu_chunk_schedule_matches_xla(nonneg):
         jnp.array(feats), jnp.array(ids_s), jnp.array(valid), H, W
     )
 
+    from pillarnet_lts_tpu.ops.pallas import voxelize_kernel as vk
+
+    prev = vk._MXU_SCHED
     set_mxu_schedule("chunk")
     try:
         with pltpu.force_tpu_interpret_mode():
@@ -186,9 +189,87 @@ def test_mxu_chunk_schedule_matches_xla(nonneg):
                 4, nonneg,
             )
     finally:
-        set_mxu_schedule("tile")
+        set_mxu_schedule(prev)
 
     np.testing.assert_array_equal(np.asarray(got_occ), np.asarray(want_occ))
     np.testing.assert_allclose(
         np.asarray(got_grid), np.asarray(want_grid), atol=1e-6
     )
+
+
+@pytest.mark.parametrize("pack", [2, 3, 4])
+def test_mxu_lane_packed_matches_xla(pack):
+    """Lane-packed chunk schedule: `pack` pillars share one output row, each
+    payload at lane offset (C+1)*(id % pack). Nonneg-only path. Covers
+    empty tiles, multi-chunk runs straddling chunk boundaries, and rows
+    receiving different lane groups from different chunks."""
+    from pillarnet_lts_tpu.ops.pallas.voxelize_kernel import (
+        pillar_scatter_max_mxu,
+        set_mxu_schedule,
+    )
+    from pillarnet_lts_tpu.ops.pallas import voxelize_kernel as vk
+
+    rng = np.random.RandomState(11 + pack)
+    B, N, C = 2, 1400, 8
+    H, W = 24, 16  # tile_rows=3 -> tile_pillars=48, divisible by 2/3/4
+    feats = np.abs(rng.randn(B, N, C)).astype(np.float32)
+    ids = rng.randint(0, (H // 2) * W, (B, N)).astype(np.int32)
+    valid = rng.rand(B, N) > 0.3
+    ids_s = np.where(valid, ids, H * W).astype(np.int32)
+
+    want_grid, want_occ = scatter_max_to_grid(
+        jnp.array(feats), jnp.array(ids_s), jnp.array(valid), H, W
+    )
+
+    prev = vk._MXU_SCHED
+    set_mxu_schedule("chunk")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got_grid, got_occ = pillar_scatter_max_mxu(
+                jnp.array(feats), jnp.array(ids_s), jnp.array(valid), H, W,
+                3, True, pack,
+            )
+    finally:
+        set_mxu_schedule(prev)
+
+    np.testing.assert_array_equal(np.asarray(got_occ), np.asarray(want_occ))
+    np.testing.assert_allclose(
+        np.asarray(got_grid), np.asarray(want_grid), atol=1e-6
+    )
+
+
+def test_mxu_lane_packed_gradient_matches_xla():
+    from pillarnet_lts_tpu.ops.pallas.voxelize_kernel import (
+        pillar_scatter_max_mxu,
+        set_mxu_schedule,
+    )
+    from pillarnet_lts_tpu.ops.pallas import voxelize_kernel as vk
+
+    rng = np.random.RandomState(13)
+    B, N, C = 1, 500, 8
+    H = W = 16
+    feats = np.abs(rng.randn(B, N, C)).astype(np.float32)
+    ids = rng.randint(0, H * W, (B, N)).astype(np.int32)
+    valid = rng.rand(B, N) > 0.3
+    ids_s = np.where(valid, ids, H * W).astype(np.int32)
+    w = rng.randn(B, H, W, C).astype(np.float32)
+
+    def loss_xla(f):
+        g, _ = scatter_max_to_grid(f, jnp.array(ids_s), jnp.array(valid), H, W)
+        return (g * w).sum()
+
+    def loss_packed(f):
+        with pltpu.force_tpu_interpret_mode():
+            g, _ = pillar_scatter_max_mxu(
+                f, jnp.array(ids_s), jnp.array(valid), H, W, 4, True, 4
+            )
+        return (g * w).sum()
+
+    prev = vk._MXU_SCHED
+    set_mxu_schedule("chunk")
+    try:
+        gx = jax.grad(loss_xla)(jnp.array(feats))
+        gm = jax.grad(loss_packed)(jnp.array(feats))
+    finally:
+        set_mxu_schedule(prev)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gx), atol=1e-5)
