@@ -281,12 +281,13 @@ def main():
     )
     m = _measure(cfg_path)
 
-    # int8 deploy-path serving numbers. Default OFF until the chip A/B has
-    # confirmed the int8 conv lowering (docs/ROADMAP.md): a new XLA graph
-    # can HANG the remote compile path, which no try/except catches — and
-    # this record must always be emitted. Enable with BENCH_INT8=1.
+    # int8 deploy-path serving numbers. Default ON since the chip A/B
+    # confirmed the int8 conv lowering wins end-to-end (2026-08-18:
+    # pipelined 15.5 -> 17.4 FPS, bs4 15.1 -> 17.1, on-chip p50 57.8 ->
+    # 55.0 ms); disable with BENCH_INT8=0 if the int8 graph ever wedges
+    # the remote compile path (the failure mode the old default guarded).
     m8 = None
-    if os.environ.get("BENCH_INT8", "0") == "1":
+    if os.environ.get("BENCH_INT8", "1") == "1":
         try:
             m8 = _measure(
                 os.path.join(
