@@ -24,6 +24,9 @@ def main():
     parser.add_argument("--iters", type=int, default=4)
     parser.add_argument("--scatter", default="auto",
                         choices=["auto", "xla", "pallas"])
+    parser.add_argument("--int8", action="store_true",
+                        help="profile the PTQ int8 deploy graph (enables "
+                             "backbone quant + inline calibration)")
     args = parser.parse_args()
 
     import jax
@@ -38,6 +41,10 @@ def main():
     scatter_mod.set_backend(args.scatter)
 
     cfg = Config.fromfile(args.config)
+    if args.int8:
+        from pillarnet_lts_tpu.runtime.quantize import enable_backbone_quant
+
+        enable_backbone_quant(cfg.model)
     model = build_model_from_cfg(cfg)
     pts, mask = _synth_points_realistic(
         1, cfg.data["max_points"], cfg.point_cloud_range
@@ -50,6 +57,19 @@ def main():
     )
     jax.block_until_ready(variables)
     print(f"[init] {time.perf_counter() - t0:.1f}s", flush=True)
+    if args.int8:
+        from pillarnet_lts_tpu.runtime.quantize import calibrate
+
+        t0 = time.perf_counter()
+        p2, m2 = _synth_points_realistic(
+            1, cfg.data["max_points"], cfg.point_cloud_range, seed=1
+        )
+        variables = calibrate(
+            model,
+            {k: v for k, v in variables.items() if k != "quant"},
+            [(pts, mask), (jnp.asarray(p2), jnp.asarray(m2))],
+        )
+        print(f"[calibrate] {time.perf_counter() - t0:.1f}s", flush=True)
     test_cfg = model.processed_test_cfg()
 
     def timeit(name, fn, *fargs):
