@@ -128,6 +128,21 @@ def _measure(config_path, n_frames=24, int8=False):
         bs4_t.append(time.perf_counter() - t0)
     bs4 = float(np.mean(sorted(bs4_t)[2:-2]))
 
+    # pipelined batched serving: the same bs=4 graph with 2 batches in
+    # flight — amortizes the dispatch floor (once per 4 frames) AND hides
+    # the host round-trip behind device compute. This is the peak
+    # sustained frames/s/chip a serving deployment would see.
+    n_pipe4 = 16
+    t0 = time.perf_counter()
+    outs4 = []
+    for _ in range(n_pipe4):
+        outs4.append(fn(variables, p4, m4))
+        if len(outs4) > 2:
+            np.asarray(outs4.pop(0)["scores"])
+    for o in outs4:
+        np.asarray(o["scores"])
+    pipe_bs4 = (time.perf_counter() - t0) / (n_pipe4 * 4)
+
     def mid_mean(ts):
         mid = ts[len(ts) // 3 : 2 * len(ts) // 3]
         return float(np.mean(mid))
@@ -155,6 +170,7 @@ def _measure(config_path, n_frames=24, int8=False):
         "uniform_p50": mid_mean(uni_t),
         "pipelined": pipe_per_frame,
         "bs4": bs4,
+        "pipelined_bs4": pipe_bs4,
         "dispatch_floor": dispatch_floor,
         "compile_s": compile_s,
     }
@@ -327,6 +343,7 @@ def main():
         "uniform_cloud_fps": round(1.0 / m["uniform_p50"], 3),
         "pipelined_fps": round(1.0 / m["pipelined"], 3),
         "fps_bs4": round(4.0 / m["bs4"], 3),
+        "pipelined_bs4_fps": round(1.0 / m["pipelined_bs4"], 3),
         "dispatch_floor_ms": round(m["dispatch_floor"] * 1000, 2),
         "compile_s": round(m["compile_s"], 1),
     }
@@ -338,6 +355,7 @@ def main():
             ),
             "int8_pipelined_fps": round(1.0 / m8["pipelined"], 3),
             "int8_fps_bs4": round(4.0 / m8["bs4"], 3),
+            "int8_pipelined_bs4_fps": round(1.0 / m8["pipelined_bs4"], 3),
         })
     if train_step_s is not None:
         record[f"train_samples_per_sec_bs{train_bs}"] = round(

@@ -22,4 +22,5 @@ def test_measure_smoke_bf16_and_int8():
         assert m["real_p50"] > 0
         assert m["pipelined"] > 0
         assert m["bs4"] > 0
+        assert m["pipelined_bs4"] > 0
         assert m["dispatch_floor"] >= 0
