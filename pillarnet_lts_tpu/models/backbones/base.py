@@ -32,10 +32,31 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 from ..utils.norm import MaskedBatchNorm
 
 _KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def _name_conv(y):
+    """Tag a conv output for remat policies (identity outside remat).
+
+    With `remat_policy='conv_out'` the block backward keeps conv results
+    resident and replays only the elementwise tail (BN normalize, bias,
+    masks, relu) — the convs are the FLOPs, the tail is what the default
+    full-replay remat spends most of its recompute on."""
+    return _checkpoint_name(y, "conv_out")
+
+
+def remat_policy(name: Optional[str]):
+    """Map a config string to a jax.checkpoint policy (None = save nothing,
+    the plain-remat default)."""
+    if not name:
+        return None
+    if name == "conv_out":
+        return jax.checkpoint_policies.save_only_these_names("conv_out")
+    raise ValueError(f"unknown remat_policy {name!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -336,10 +357,10 @@ def conv_bn_act_s2d(conv: "MaskedConv", bn: MaskedBatchNorm, x, masks,
     if train:
         stat4 = masks.get("stat4")
         b = _tile4(conv.bias) if conv.use_bias else None
-        y = jax.lax.conv_general_dilated(
+        y = _name_conv(jax.lax.conv_general_dilated(
             x.astype(conv.dtype), w.astype(conv.dtype), (1, 1),
             (hpad, wpad), dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        ))
         if b is not None:
             y = y + b.astype(y.dtype)
         bb, hh, ww, _ = y.shape
@@ -438,6 +459,7 @@ class MaskedConv(nn.Module):
             padding=((pad, pad), (pad, pad) if pad_w else (0, 0)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+        y = _name_conv(y)
         if b is not None:
             y = y + b.astype(y.dtype)
         return y
@@ -657,6 +679,9 @@ class SparseDownStage(nn.Module):
     # all of them (a 720^2 x 64 stage keeps ~9 x 550 MB temps resident
     # without it). Engaged by the backbone-level `remat` flag.
     remat: bool = False
+    # checkpoint policy for remat'ed blocks (None = full replay;
+    # 'conv_out' = keep conv results, replay only the elementwise tail)
+    remat_policy: Optional[str] = None
     quant: bool = False
 
     def setup(self):
@@ -672,7 +697,8 @@ class SparseDownStage(nn.Module):
         )
         # flax nn.remat argnums count `self` as 0; only positional call
         # args can be static: (self, x, mask, train, chunked)
-        block_cls = (nn.remat(Sparse2DBasicBlock, static_argnums=(3, 4))
+        block_cls = (nn.remat(Sparse2DBasicBlock, static_argnums=(3, 4),
+                              policy=remat_policy(self.remat_policy))
                      if self.remat else Sparse2DBasicBlock)
         self.blocks = [
             block_cls(
@@ -690,11 +716,11 @@ class SparseDownStage(nn.Module):
             assert self.stride == 2
             w = expand_kernel_s2d_down(self.down_conv.kernel)
             if train:
-                y = jax.lax.conv_general_dilated(
+                y = _name_conv(jax.lax.conv_general_dilated(
                     x.astype(self.dtype), w.astype(self.dtype), (1, 1),
                     ((1, 0), (1, 0)),
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
+                ))
                 y = self.down_bn(y, mask=new_mask, train=True)
             else:
                 inv, shift = self.down_bn.fold_factors()

@@ -27,6 +27,7 @@ from ..registry import BACKBONES
 from .base import (
     DenseConvBNReLU,
     chunk_gate,
+    remat_policy,
     Sparse2DBasicBlock,
     Sparse2DBasicBlockV,
     SparseDownStage,
@@ -75,6 +76,10 @@ class _PillarResNetBase(nn.Module):
     # training (bs=8 on one 16 GB chip OOMs without it) at ~1.3x backward
     # FLOPs. Parameter tree is unchanged — checkpoints stay compatible.
     remat: bool = False
+    # checkpoint policy under `remat`: None replays the whole block in the
+    # backward; 'conv_out' keeps conv results resident and replays only the
+    # elementwise tail (trades block-boundary memory for conv recompute).
+    remat_policy: str = None
     # int8 deploy mode for the backbone convs (eval only; see base.py module
     # comment and runtime/quantize.py). Checkpoints are unchanged — the
     # calibrated activation scales live in a separate 'quant' collection.
@@ -156,9 +161,13 @@ class _PillarResNetBase(nn.Module):
         if self.remat:
             # flax nn.remat argnums count `self` as 0, and only positional
             # call args can be static: (self, x, mask, train, chunked)
-            BlockV = nn.remat(Sparse2DBasicBlockV, static_argnums=(3, 4))
-            Block = nn.remat(Sparse2DBasicBlock, static_argnums=(3, 4))
-            Down = nn.remat(SparseDownStage, static_argnums=(3,))
+            pol = remat_policy(self.remat_policy)
+            BlockV = nn.remat(Sparse2DBasicBlockV, static_argnums=(3, 4),
+                              policy=pol)
+            Block = nn.remat(Sparse2DBasicBlock, static_argnums=(3, 4),
+                             policy=pol)
+            Down = nn.remat(SparseDownStage, static_argnums=(3,),
+                            policy=pol)
 
         x = BlockV(
             c, dtype=self.dtype, s2d=use_s2d, quant=self.quant,
@@ -180,19 +189,20 @@ class _PillarResNetBase(nn.Module):
             c * 2, self.stage_blocks[0], in_channels=c, dtype=self.dtype,
             s2d_in=use_s2d, chunk_nc=self.chunk_nc,
             chunk_min_w=self.chunk_min_w, chunk_train=self.chunk_train,
-            remat=self.remat, quant=self.quant, name="conv2",
+            remat=self.remat, remat_policy=self.remat_policy,
+            quant=self.quant, name="conv2",
         )(x, m1, train)
         x3, m3 = Down(
             c * 4, self.stage_blocks[1], in_channels=c * 2, dtype=self.dtype,
             chunk_nc=self.chunk_nc, chunk_min_w=self.chunk_min_w,
             chunk_train=self.chunk_train, remat=self.remat,
-            quant=self.quant, name="conv3",
+            remat_policy=self.remat_policy, quant=self.quant, name="conv3",
         )(x2, m2, train)
         x4, m4 = Down(
             c * 8, self.stage_blocks[2], in_channels=c * 4, dtype=self.dtype,
             chunk_nc=self.chunk_nc, chunk_min_w=self.chunk_min_w,
             chunk_train=self.chunk_train, remat=self.remat,
-            quant=self.quant, name="conv4",
+            remat_policy=self.remat_policy, quant=self.quant, name="conv4",
         )(x3, m3, train)
 
         out = {
@@ -210,7 +220,8 @@ class _PillarResNetBase(nn.Module):
     def _conv5(self, x4, train):
         """Dense stride-16 stage (`PillarResNet.py:110-117`)."""
         c = self.in_channels
-        Dense = (nn.remat(DenseConvBNReLU, static_argnums=(2,))
+        Dense = (nn.remat(DenseConvBNReLU, static_argnums=(2,),
+                          policy=remat_policy(self.remat_policy))
                  if self.remat else DenseConvBNReLU)
         y = Dense(
             c * 8, kernel_size=3, stride=2, dtype=self.dtype,

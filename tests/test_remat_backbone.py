@@ -68,6 +68,25 @@ def test_remat_training_matches_plain():
     )
 
 
+@pytest.mark.slow
+def test_remat_policy_conv_out_matches_plain():
+    """remat_policy='conv_out' (keep conv results, replay the elementwise
+    tail) must also be numerics-neutral: same loss/stats/grads as no remat."""
+    grid, occ = _inputs(2)
+    v0, l0, s0, g0 = _run_train(grid, occ, remat=False)
+    v1, l1, s1, g1 = _run_train(
+        grid, occ, remat=True, remat_policy="conv_out"
+    )
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+    np.testing.assert_allclose(l1, l0, rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3
+        ),
+        g1, g0,
+    )
+
+
 def test_remat_eval_matches_plain():
     grid, occ = _inputs(1)
     model0 = PillarResNet34(in_channels=32, remat=False)

@@ -21,6 +21,15 @@ def main():
     )
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--iters", type=int, default=8)
+    parser.add_argument(
+        "--remat", action="store_true",
+        help="force backbone remat=True (needed for bs>=2 on a 16 GB chip)",
+    )
+    parser.add_argument(
+        "--remat-policy", default=None, choices=[None, "conv_out"],
+        help="override backbone remat_policy (implies --remat; 'conv_out' "
+             "keeps conv results, replays the elementwise tail)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -34,6 +43,10 @@ def main():
     from pillarnet_lts_tpu.utils.config import Config
 
     cfg = Config.fromfile(args.config)
+    if args.remat or args.remat_policy:
+        cfg.model["backbone"]["remat"] = True
+    if args.remat_policy:
+        cfg.model["backbone"]["remat_policy"] = args.remat_policy
     model = build_model_from_cfg(cfg)
     B = args.batch
     N = cfg.data["max_points"]
