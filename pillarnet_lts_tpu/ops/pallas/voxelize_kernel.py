@@ -628,12 +628,32 @@ def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows,
     return jax.vmap(one)(point_feats, flat_ids, valid)
 
 
+def _pack_residual_rows(grid, height, width):
+    """Reshape the saved (B, H, W, C) grid to (B, hw/p, p*C) with p*C = 128.
+
+    The VJP keeps the forward grid as a residual across the fwd/bwd split.
+    Stored flat as (B, hw, C) with C = 32 minor, the TPU (8, 128)-lane
+    tiling pads the lane dim 32 -> 128 and the residual costs 4x its data
+    (measured: 1.98 GB for bf16[4, 1440^2, 32] in a bs=4 train graph).
+    Folding p = 128/C consecutive pillar rows into one 128-lane row stores
+    the same bytes unpadded; the backward gathers row id//p and selects
+    lane group id%p."""
+    B, C = grid.shape[0], grid.shape[-1]
+    hw = height * width
+    p = max(1, 128 // C)
+    while p > 1 and hw % p:
+        p //= 2
+    return grid.reshape(B, hw // p, p * C)
+
+
 def _scatter_mxu_vjp_fwd(point_feats, flat_ids, valid, height, width,
                          tile_rows, nonneg, pack):
     grid, occ = _scatter_mxu_impl(
         point_feats, flat_ids, valid, height, width, tile_rows, nonneg, pack
     )
-    return (grid, occ), (point_feats, flat_ids, valid, grid)
+    res = (point_feats, flat_ids, valid,
+           _pack_residual_rows(grid, height, width))
+    return (grid, occ), res
 
 
 def _scatter_mxu_vjp_bwd(height, width, tile_rows, nonneg, pack, residuals,
@@ -648,32 +668,45 @@ def _scatter_vjp_fwd(point_feats, flat_ids, valid, height, width, tile_rows):
     grid, occ = _scatter_fwd_impl(
         point_feats, flat_ids, valid, height, width, tile_rows
     )
-    return (grid, occ), (point_feats, flat_ids, valid, grid)
+    res = (point_feats, flat_ids, valid,
+           _pack_residual_rows(grid, height, width))
+    return (grid, occ), res
 
 
 def _scatter_vjp_bwd(height, width, tile_rows, residuals, cotangents):
-    point_feats, flat_ids, valid, grid = residuals
+    point_feats, flat_ids, valid, grid_rows = residuals
     dgrid = cotangents[0]  # occupancy is boolean -> no gradient
 
     B, N, C = point_feats.shape
     hw = height * width
+    p = grid_rows.shape[2] // C  # row-packing factor (_pack_residual_rows)
     # ONE fused gather on a concatenated [grid | dgrid] table: XLA's TPU
     # gather cost is per-index, so doubling the row width quarters the
     # total vs two separate 32-wide gathers (measured 27.3 -> 7.2 ms for
-    # 262k points from a 1440^2 grid)
-    dt = jnp.promote_types(grid.dtype, dgrid.dtype)
+    # 262k points from a 1440^2 grid). Rows are p-packed to 128 lanes; the
+    # per-point lane group is picked out after the gather.
+    dt = jnp.promote_types(grid_rows.dtype, dgrid.dtype)
     fg = jnp.concatenate(
-        [grid.reshape(B, hw, C).astype(dt),
-         dgrid.reshape(B, hw, C).astype(dt)],
+        [grid_rows.astype(dt),
+         dgrid.reshape(B, hw // p, p * C).astype(dt)],
         axis=-1,
     )
-    pid = jnp.clip(flat_ids, 0, hw - 1).astype(jnp.int32)[..., None]
-    both = jnp.take_along_axis(fg, pid, axis=1)  # (B, N, 2C)
-    g_at, d_at = both[..., :C], both[..., C:]
+    pid = jnp.clip(flat_ids, 0, hw - 1).astype(jnp.int32)
+    both = jnp.take_along_axis(fg, (pid // p)[..., None], axis=1)
+    if p > 1:
+        sub = (pid % p)[..., None, None]  # lane group within the packed row
+        g_at = jnp.take_along_axis(
+            both[..., : p * C].reshape(B, N, p, C), sub, axis=2
+        )[:, :, 0]
+        d_at = jnp.take_along_axis(
+            both[..., p * C :].reshape(B, N, p, C), sub, axis=2
+        )[:, :, 0]
+    else:
+        g_at, d_at = both[..., :C], both[..., C:]
 
     # winner test in the grid dtype (bf16 -> wider is exact)
     winner = (
-        (point_feats.astype(grid.dtype).astype(dt) == g_at)
+        (point_feats.astype(grid_rows.dtype).astype(dt) == g_at)
         & valid[..., None]
     )
     dpf = jnp.where(winner, d_at, 0).astype(point_feats.dtype)
