@@ -128,10 +128,11 @@ def _measure(config_path, n_frames=24, int8=False):
         bs4_t.append(time.perf_counter() - t0)
     bs4 = float(np.mean(sorted(bs4_t)[2:-2]))
 
-    # pipelined batched serving: the same bs=4 graph with 2 batches in
-    # flight — amortizes the dispatch floor (once per 4 frames) AND hides
-    # the host round-trip behind device compute. This is the peak
-    # sustained frames/s/chip a serving deployment would see.
+    # pipelined batched serving: the same bs=4 graph with up to 3 batches
+    # momentarily outstanding (the loop appends before draining down to 2)
+    # — amortizes the dispatch floor (once per 4 frames) AND hides the
+    # host round-trip behind device compute. This is the peak sustained
+    # frames/s/chip a serving deployment would see.
     n_pipe4 = 16
     t0 = time.perf_counter()
     outs4 = []
@@ -297,6 +298,30 @@ def main():
     )
     m = _measure(cfg_path)
 
+    record = {
+        "metric": "pillarnet34_nusc_fps_bs1",
+        "value": round(1.0 / m["real_p50"], 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(1.0 / m["real_p50"] / BASELINE_FPS, 3),
+        "p50_latency_ms": round(m["real_p50"] * 1000, 2),
+        "p99_latency_ms": round(m["real_p99"] * 1000, 2),
+        # serial latency minus the measured relay dispatch floor: the
+        # floor varies 25-38 ms run to run, so this is the stable number
+        "onchip_p50_ms": round(
+            (m["real_p50"] - m["dispatch_floor"]) * 1000, 2
+        ),
+        "uniform_cloud_fps": round(1.0 / m["uniform_p50"], 3),
+        "pipelined_fps": round(1.0 / m["pipelined"], 3),
+        "fps_bs4": round(4.0 / m["bs4"], 3),
+        "pipelined_bs4_fps": round(1.0 / m["pipelined_bs4"], 3),
+        "dispatch_floor_ms": round(m["dispatch_floor"] * 1000, 2),
+        "compile_s": round(m["compile_s"], 1),
+    }
+    # emit the bf16 record NOW (partial, flushed): a wedged int8/train
+    # compile later can then only fail to extend it, never discard it —
+    # the driver keeps the last JSON line printed
+    print(json.dumps({**record, "partial": True}), flush=True)
+
     # int8 deploy-path serving numbers. Default ON since the chip A/B
     # confirmed the int8 conv lowering wins end-to-end (2026-08-18:
     # pipelined 15.5 -> 17.4 FPS, bs4 15.1 -> 17.1, on-chip p50 57.8 ->
@@ -328,25 +353,6 @@ def main():
             print(f"# train bs={train_bs} remat={train_remat} failed: "
                   f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
 
-    record = {
-        "metric": "pillarnet34_nusc_fps_bs1",
-        "value": round(1.0 / m["real_p50"], 3),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(1.0 / m["real_p50"] / BASELINE_FPS, 3),
-        "p50_latency_ms": round(m["real_p50"] * 1000, 2),
-        "p99_latency_ms": round(m["real_p99"] * 1000, 2),
-        # serial latency minus the measured relay dispatch floor: the
-        # floor varies 25-38 ms run to run, so this is the stable number
-        "onchip_p50_ms": round(
-            (m["real_p50"] - m["dispatch_floor"]) * 1000, 2
-        ),
-        "uniform_cloud_fps": round(1.0 / m["uniform_p50"], 3),
-        "pipelined_fps": round(1.0 / m["pipelined"], 3),
-        "fps_bs4": round(4.0 / m["bs4"], 3),
-        "pipelined_bs4_fps": round(1.0 / m["pipelined_bs4"], 3),
-        "dispatch_floor_ms": round(m["dispatch_floor"] * 1000, 2),
-        "compile_s": round(m["compile_s"], 1),
-    }
     if m8 is not None:
         record.update({
             "int8_fps_bs1": round(1.0 / m8["real_p50"], 3),

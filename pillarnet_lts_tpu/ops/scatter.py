@@ -20,6 +20,11 @@ from .voxelize import scatter_max_to_grid, scatter_max_to_grid_sorted
 
 _BACKEND = "auto"
 
+# tile_rows passed to the MXU kernel (BEV grid rows per output tile);
+# shared between the call below and the pack legality gate so they cannot
+# desync. 2 is the measured optimum for the 1440^2 flagship workload.
+_MXU_TILE_ROWS = 2
+
 # lane-packing factor for the MXU kernel's nonneg path (pillars per output
 # row; see voxelize_kernel._mxu_kernel_cg). Cuts the kernel's one-hot
 # materialization and grid HBM traffic by `pack`x; only legal when
@@ -63,15 +68,20 @@ def pillar_scatter_max(point_feats, flat_ids, valid, height, width,
             point_feats, flat_ids, valid, height, width
         )
     if backend == "mxu":
+        from .pallas import voxelize_kernel
         from .pallas.voxelize_kernel import pillar_scatter_max_mxu
 
         C = point_feats.shape[-1]
+        tr = _MXU_TILE_ROWS
         pack = _MXU_PACK
-        if (not nonneg or pack * (C + 1) + 2 > 128 or (2 * width) % pack
+        # lane packing is only implemented by the 'chunk' schedule, and its
+        # legality depends on the actual tile size (tr * width)
+        if (not nonneg or voxelize_kernel._MXU_SCHED != "chunk"
+                or pack * (C + 1) + 2 > 128 or (tr * width) % pack
                 or (height * width) % pack):
             pack = 1
         return pillar_scatter_max_mxu(
-            point_feats, flat_ids, valid, height, width, 2, nonneg, pack
+            point_feats, flat_ids, valid, height, width, tr, nonneg, pack
         )
     if backend == "sort":
         return scatter_max_to_grid_sorted(

@@ -27,7 +27,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def halo_exchange_h(x_local, axis_name="sp"):
@@ -112,7 +112,7 @@ def make_spatial_conv(mesh: Mesh, kernel, axis_name="sp", masked=False):
         mesh=mesh,
         in_specs=in_specs,
         out_specs=P(None, axis_name, None, None),
-        check_rep=False,
+        check_vma=False,
     )
     def run(*args):
         return fn(*args, kernel, axis_name=axis_name)

@@ -83,6 +83,12 @@ def test_remat_policy_conv_out_matches_plain():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3
         ),
+        s1, s0,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3
+        ),
         g1, g0,
     )
 
