@@ -434,6 +434,115 @@ def set_mxu_schedule(name):
     _MXU_SCHED = name
 
 
+# dedup (chunk-local segmented suffix max) placement for the 'chunk'
+# schedule: 'xla' runs it over the whole sorted array on the XLA side
+# before the kernel; 'kernel' keeps the round-3 in-kernel scan. The
+# round-4 probe decomposition (tools/bench_r4_probe.py) showed the
+# in-kernel scan is the kernel's dominant cost — ~4.7 ms of the 7.4 ms
+# kernel time at the 262k -> 1440^2 x 32 workload (Mosaic lowers the
+# 9 unaligned-sublane shift passes poorly), while the same passes as
+# XLA elementwise ops over the (chunks, CHUNK, lanes) view cost ~1 ms.
+# 'xla' also slims the kernel payload: no id/key lanes, bf16 stream for
+# bf16 inputs (the scan needs the ids as a separate int32 array, not as
+# payload lanes, and nothing downstream needs fp32 exactness anymore).
+_MXU_DEDUP = "xla"
+
+
+def set_mxu_dedup(name):
+    global _MXU_DEDUP
+    assert name in ("xla", "kernel")
+    _MXU_DEDUP = name
+
+
+def _chunk_dedup_xla(aug, sorted_key, chunk):
+    """Chunk-local segmented suffix max + head-zeroing, XLA side.
+
+    aug: (M, c_pad) sorted payload rows (M a multiple of `chunk`);
+    sorted_key: (M,) int32 sorted pillar ids (invalid/pad rows -> hw).
+    Returns aug with the FIRST row of every equal-key run inside each
+    chunk holding the elementwise max over the run and every other row of
+    the run zeroed — so the kernel's one-hot SUM equals the per-pillar max
+    within a chunk (cross-chunk runs are max-combined by the kernel)."""
+    m, c_pad = aug.shape
+    nc = m // chunk
+    v = aug.reshape(nc, chunk, c_pad)
+    k3 = sorted_key.reshape(nc, chunk, 1)
+    kfill = jnp.full((nc, 1, 1), -1, k3.dtype)
+    d = 1
+    while d < chunk:
+        knext = jnp.concatenate(
+            [k3[:, d:], jnp.broadcast_to(kfill, (nc, d, 1))], axis=1
+        )
+        vnext = jnp.concatenate(
+            [v[:, d:], jnp.zeros((nc, d, c_pad), v.dtype)], axis=1
+        )
+        v = jnp.where(k3 == knext, jnp.maximum(v, vnext), v)
+        d *= 2
+    kprev = jnp.concatenate(
+        [jnp.broadcast_to(kfill, (nc, 1, 1)), k3[:, :-1]], axis=1
+    )
+    v = jnp.where(k3 != kprev, v, 0)
+    return v.reshape(m, c_pad)
+
+
+def _mxu_kernel_cg_pre(tbl_ref, ids_ref, feats_ref, grid_ref, *,
+                       tile_pillars, occ_col, dot_dtype, nonneg, pack=1):
+    """Chunk-scheduled kernel over PRE-DEDUPED payload rows.
+
+    Same schedule as `_mxu_kernel_cg`, but the chunk-local segmented max
+    and head-zeroing already happened on the XLA side
+    (`_chunk_dedup_xla`), so the body is just one-hot routing + matmul +
+    cross-chunk combine — no per-chunk scan, no id lane extraction."""
+    s = pl.program_id(0)
+    t = tbl_ref[0, s]
+    g = tbl_ref[1, s]
+    first = tbl_ref[2, s]
+    v = tbl_ref[3, s]
+
+    @pl.when(first == 1)
+    def _():
+        grid_ref[:] = jnp.zeros_like(grid_ref)
+
+    @pl.when(v == 1)
+    def _():
+        vals = feats_ref[:]  # (CHUNK, c_pad), auto-pipelined
+        row = ids_ref[pl.ds(jax.lax.rem(g, 8), 1), :]  # (1, CHUNK) int32
+        rows_per_tile = tile_pillars // pack
+        if pack > 1:
+            row = row // pack
+        row_ids = (
+            jax.lax.broadcasted_iota(
+                jnp.int32, (rows_per_tile, _MXU_CHUNK), 0
+            )
+            + t * rows_per_tile
+        )
+        onehot = (row == row_ids).astype(dot_dtype)
+        contrib = jax.lax.dot_general(
+            onehot, vals.astype(dot_dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.HIGHEST
+                       if dot_dtype == jnp.float32 else
+                       jax.lax.Precision.DEFAULT),
+        )
+        if nonneg:
+            grid_ref[:] = jnp.maximum(
+                grid_ref[:], contrib.astype(grid_ref.dtype)
+            )
+        else:
+            c_pad = vals.shape[1]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad), 1)
+            occ_lane = (lane == occ_col).astype(jnp.float32)
+            touched = (contrib * occ_lane).sum(axis=1, keepdims=True) > 0.0
+            cur = grid_ref[:]
+            contrib_c = contrib.astype(cur.dtype)
+            seen = (cur.astype(jnp.float32) * occ_lane).sum(
+                axis=1, keepdims=True
+            ) > 0.0
+            upd = jnp.where(seen, jnp.maximum(cur, contrib_c), contrib_c)
+            grid_ref[:] = jnp.where(touched, upd, cur)
+
+
 def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows,
                       nonneg=False, pack=1):
     out_dtype = point_feats.dtype
@@ -459,20 +568,24 @@ def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows,
     # bf16 grid (and bf16 one-hot matmul) is exact; fp32 inputs keep fp32
     acc_dtype = out_dtype if out_dtype == jnp.bfloat16 else jnp.float32
 
+    use_xla_dedup = _MXU_SCHED == "chunk" and _MXU_DEDUP == "xla"
+
     def one(feats, ids, ok):
         key = jnp.where(ok, ids, hw).astype(jnp.int32)
-        # fp32 working layout: [feats | occ | id | sort key | zero padding];
-        # the id column (exact below 2^24) lets the kernel run the per-chunk
-        # dedup scan without a second, transposed id stream; the sort-key
-        # column (invalid -> hw, sorted last) reconstructs the sorted id
-        # stream for searchsorted and the one-hot table. Building the full
-        # row FIRST and gathering ONCE matters: XLA's TPU gather cost is
-        # per-index, so three separate gathers by `order` (ids, ok, feats)
-        # cost ~3x one 128-wide row gather.
+        # payload dtype: with the dedup scan on the XLA side nothing in the
+        # kernel needs id lanes or fp32 exactness, so bf16 inputs stream
+        # bf16 (halved gather + chunk-DMA bytes); the legacy in-kernel-scan
+        # path keeps the fp32 [.. | id | key] layout it depends on
+        pdt = (jnp.bfloat16
+               if (use_xla_dedup and out_dtype == jnp.bfloat16)
+               else jnp.float32)
+        # Building the full row FIRST and gathering ONCE matters: XLA's TPU
+        # gather cost is per-index, so three separate gathers by `order`
+        # (ids, ok, feats) cost ~3x one wide row gather.
         payload = jnp.concatenate(
             [
-                feats.astype(jnp.float32) * ok[:, None],
-                ok[:, None].astype(jnp.float32),
+                feats.astype(pdt) * ok[:, None].astype(pdt),
+                ok[:, None].astype(pdt),
             ],
             axis=-1,
         )  # (N, C+1): [feats | occ]
@@ -481,37 +594,58 @@ def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows,
             # invalid rows are all-zero, so their placement is irrelevant
             grp = (key % pack)[:, None]
             packed = jnp.concatenate(
-                [jnp.where(grp == g, payload, 0.0) for g in range(pack)],
+                [jnp.where(grp == g, payload, 0) for g in range(pack)],
                 axis=-1,
             )
         else:
             packed = payload
-        row = jnp.concatenate(
-            [
-                packed,
-                jnp.where(ok, key, -2).astype(jnp.float32)[:, None],
-                key.astype(jnp.float32)[:, None],
-                jnp.zeros((N, c_pad - packed.shape[1] - 2), jnp.float32),
-            ],
-            axis=-1,
-        )
-        order = jnp.argsort(key)
-        aug = jnp.take_along_axis(row, order[:, None], axis=0)
-
-        # pad so chunk DMAs never run off the end, the id table reshapes into
-        # whole chunks, and its row count is 8-aligned (group DMAs)
+        # pad so chunk DMAs never run off the end, the id table reshapes
+        # into whole chunks, and its row count is 8-aligned (group DMAs)
         pad_n = (
             -(-(N + _MXU_CHUNK) // (8 * _MXU_CHUNK)) * 8 * _MXU_CHUNK - N
         )
-        # pad rows must not share a scan-id-column value with any real
-        # pillar (the in-kernel dedup scan merges equal-id neighbors)
-        pad_row = (
-            jnp.zeros((pad_n, c_pad), jnp.float32)
-            .at[:, id_col].set(-2.0)
-            .at[:, key_col].set(float(hw))
-        )
-        aug = jnp.concatenate([aug, pad_row])
-        sorted_ids = aug[:, key_col].astype(jnp.int32)
+        if use_xla_dedup:
+            row = jnp.concatenate(
+                [
+                    packed,
+                    jnp.zeros((N, c_pad - packed.shape[1]), pdt),
+                ],
+                axis=-1,
+            )
+            sorted_key, order = jax.lax.sort_key_val(
+                key, jnp.arange(N, dtype=jnp.int32)
+            )
+            aug = jnp.take_along_axis(row, order[:, None], axis=0)
+            aug = jnp.concatenate(
+                [aug, jnp.zeros((pad_n, c_pad), pdt)]
+            )
+            sorted_ids = jnp.concatenate(
+                [sorted_key, jnp.full((pad_n,), hw, jnp.int32)]
+            )
+            aug = _chunk_dedup_xla(aug, sorted_ids, _MXU_CHUNK)
+        else:
+            row = jnp.concatenate(
+                [
+                    packed.astype(jnp.float32),
+                    jnp.where(ok, key, -2).astype(jnp.float32)[:, None],
+                    key.astype(jnp.float32)[:, None],
+                    jnp.zeros(
+                        (N, c_pad - packed.shape[1] - 2), jnp.float32
+                    ),
+                ],
+                axis=-1,
+            )
+            order = jnp.argsort(key)
+            aug = jnp.take_along_axis(row, order[:, None], axis=0)
+            # pad rows must not share a scan-id-column value with any real
+            # pillar (the in-kernel dedup scan merges equal-id neighbors)
+            pad_row = (
+                jnp.zeros((pad_n, c_pad), jnp.float32)
+                .at[:, id_col].set(-2.0)
+                .at[:, key_col].set(float(hw))
+            )
+            aug = jnp.concatenate([aug, pad_row])
+            sorted_ids = aug[:, key_col].astype(jnp.int32)
         ids_2d = sorted_ids.reshape(-1, _MXU_CHUNK)
 
         tile_bounds = (
@@ -552,10 +686,20 @@ def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows,
             valid_s = (off < real[t_of]).astype(jnp.int32)
             tbl = jnp.stack([t_of, g_of, first, valid_s])
 
+            if use_xla_dedup:
+                kern = partial(
+                    _mxu_kernel_cg_pre, tile_pillars=tile_pillars,
+                    occ_col=C, dot_dtype=acc_dtype, nonneg=nonneg,
+                    pack=pack,
+                )
+            else:
+                kern = partial(
+                    _mxu_kernel_cg, tile_pillars=tile_pillars,
+                    occ_col=C, id_col=id_col, dot_dtype=acc_dtype,
+                    nonneg=nonneg, pack=pack,
+                )
             grid = pl.pallas_call(
-                partial(_mxu_kernel_cg, tile_pillars=tile_pillars,
-                        occ_col=C, id_col=id_col, dot_dtype=acc_dtype,
-                        nonneg=nonneg, pack=pack),
+                kern,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=1,
                     grid=(S,),

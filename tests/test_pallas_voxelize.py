@@ -273,3 +273,47 @@ def test_mxu_lane_packed_gradient_matches_xla():
     finally:
         set_mxu_schedule(prev)
     np.testing.assert_allclose(np.asarray(gm), np.asarray(gx), atol=1e-5)
+
+
+@pytest.mark.parametrize("dedup", ["xla", "kernel"])
+@pytest.mark.parametrize("nonneg", [False, True])
+def test_mxu_chunk_dedup_modes_match_xla(dedup, nonneg):
+    """Both dedup placements of the chunk schedule — the round-4 XLA-side
+    chunk-local segmented max (`_chunk_dedup_xla` + `_mxu_kernel_cg_pre`,
+    slim payload) and the round-3 in-kernel scan — must match the XLA
+    segment-max oracle, including bf16 payload streaming."""
+    from pillarnet_lts_tpu.ops.pallas import voxelize_kernel as vk
+
+    rng = np.random.RandomState(23)
+    B, N, C = 2, 900, 8
+    H, W = 16, 16
+    feats = rng.randn(B, N, C).astype(np.float32)
+    if nonneg:
+        feats = np.abs(feats)
+    ids = rng.randint(0, H * W // 2, (B, N)).astype(np.int32)
+    valid = rng.rand(B, N) > 0.3
+    ids_s = np.where(valid, ids, H * W).astype(np.int32)
+
+    for dt in (jnp.float32, jnp.bfloat16):
+        f = jnp.array(feats).astype(dt)
+        want_grid, want_occ = scatter_max_to_grid(
+            f, jnp.array(ids_s), jnp.array(valid), H, W
+        )
+        prev_s, prev_d = vk._MXU_SCHED, vk._MXU_DEDUP
+        vk.set_mxu_schedule("chunk")
+        vk.set_mxu_dedup(dedup)
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                got_grid, got_occ = vk.pillar_scatter_max_mxu(
+                    f, jnp.array(ids_s), jnp.array(valid), H, W, 4, nonneg,
+                )
+        finally:
+            vk.set_mxu_schedule(prev_s)
+            vk.set_mxu_dedup(prev_d)
+        np.testing.assert_array_equal(
+            np.asarray(got_occ), np.asarray(want_occ)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_grid.astype(jnp.float32)),
+            np.asarray(want_grid.astype(jnp.float32)),
+        )
