@@ -433,6 +433,7 @@ class MaskedConv(nn.Module):
     use_bias: bool = True
     dtype: Any = jnp.float32
     bias_init: Any = nn.initializers.zeros
+    kernel_init: Any = _KAIMING
     # int8 deploy mode (see module comment): False = bf16/fp32 compute.
     # When True, eval-time `folded` calls observe input absmax (calibration,
     # mutable 'quant' collection) and switch the conv core to int8 once a
@@ -442,7 +443,7 @@ class MaskedConv(nn.Module):
     def setup(self):
         k = self.kernel_size
         self.kernel = self.param(
-            "kernel", _KAIMING,
+            "kernel", self.kernel_init,
             (k, k, self.in_features, self.features), jnp.float32,
         )
         if self.use_bias:

@@ -19,6 +19,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..backbones.base import MaskedConv
 from ..registry import NECKS
 from ..utils.norm import MaskedBatchNorm
 
@@ -26,18 +27,30 @@ _XAVIER = nn.initializers.xavier_uniform()
 
 
 class _ConvBNReLU(nn.Module):
+    """3x3 conv + BN + ReLU. At eval the BN affine is FOLDED into the conv
+    kernel (same scheme as the backbone, `backbones/base.py`), removing the
+    per-conv normalization pass; with `quant=True` the folded conv runs the
+    int8 deploy core (per-output-channel weights, per-tensor activations,
+    absmax-calibrated — `runtime/quantize.py`). Parameter paths are
+    unchanged from the original nn.Conv form ("Conv_0/kernel")."""
+
     features: int
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(
-            self.features, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
-            kernel_init=_XAVIER, dtype=self.dtype, param_dtype=jnp.float32,
-        )(x)
-        x = MaskedBatchNorm(self.features, dtype=self.dtype)(
-            x, mask=None, train=train
+        conv = MaskedConv(
+            self.features, x.shape[-1], kernel_size=3, use_bias=False,
+            dtype=self.dtype, kernel_init=_XAVIER, quant=self.quant,
+            name="Conv_0",
         )
+        bn = MaskedBatchNorm(self.features, dtype=self.dtype)
+        if train:
+            x = bn(conv(x), mask=None, train=True)
+        else:
+            inv, shift = bn.fold_factors()
+            x = conv.folded(x, inv, shift)
         return nn.relu(x)
 
 
@@ -47,12 +60,15 @@ class _Block(nn.Module):
     features: int
     num_blocks: int
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = _ConvBNReLU(self.features, dtype=self.dtype, name="conv0")(x, train)
+        x = _ConvBNReLU(self.features, dtype=self.dtype, quant=self.quant,
+                        name="conv0")(x, train)
         for i in range(self.num_blocks):
-            x = _ConvBNReLU(self.features, dtype=self.dtype, name=f"conv{i + 1}")(
+            x = _ConvBNReLU(self.features, dtype=self.dtype,
+                            quant=self.quant, name=f"conv{i + 1}")(
                 x, train
             )
         return x
@@ -87,18 +103,19 @@ class RPNV1(nn.Module):
     num_filters: int
     in_channels: Sequence[int]
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, feats, train: bool = True):
         x4 = _feat(feats["conv4"])
         x5 = _feat(feats["conv5"])
-        x = _Block(self.in_channels[0], self.layer_nums[0], dtype=self.dtype,
+        x = _Block(self.in_channels[0], self.layer_nums[0], dtype=self.dtype, quant=self.quant,
                    name="block_5")(x5, train)
         up = _DeBlock(self.in_channels[1], dtype=self.dtype, name="deblock_5")(
             x, train
         )
         x = jnp.concatenate([x4, up], axis=-1)
-        x = _Block(self.num_filters, self.layer_nums[1], dtype=self.dtype,
+        x = _Block(self.num_filters, self.layer_nums[1], dtype=self.dtype, quant=self.quant,
                    name="block_4")(x, train)
         return (x,)
 
@@ -109,18 +126,19 @@ class RPNV2(nn.Module):
     in_channels: Sequence[int]
     num_filters: int
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, feats, train: bool = True):
         x3 = _feat(feats["conv3"])
         x4 = _feat(feats["conv4"])
-        x = _Block(self.in_channels[0], self.layer_nums[0], dtype=self.dtype,
+        x = _Block(self.in_channels[0], self.layer_nums[0], dtype=self.dtype, quant=self.quant,
                    name="block_4")(x4, train)
         up = _DeBlock(self.in_channels[1], dtype=self.dtype, name="deblock_4")(
             x, train
         )
         x = jnp.concatenate([x3, up], axis=-1)
-        x = _Block(self.num_filters, self.layer_nums[1], dtype=self.dtype,
+        x = _Block(self.num_filters, self.layer_nums[1], dtype=self.dtype, quant=self.quant,
                    name="block_3")(x, train)
         return (x,)
 
@@ -131,6 +149,7 @@ class RPNG(nn.Module):
     in_channels: Sequence[int]
     num_filters: Sequence[int]
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, feats, train: bool = True):
@@ -138,20 +157,20 @@ class RPNG(nn.Module):
         x4 = _feat(feats["conv4"])
         x5 = _feat(feats["conv5"])
         # head stride 8
-        x5b = _Block(self.in_channels[0], self.layer_nums[0], dtype=self.dtype,
+        x5b = _Block(self.in_channels[0], self.layer_nums[0], dtype=self.dtype, quant=self.quant,
                      name="block_5")(x5, train)
         up54 = _DeBlock(self.in_channels[1], dtype=self.dtype, name="top_down_54")(
             x5b, train
         )
         x4b = jnp.concatenate([x4, up54], axis=-1)
-        x4b = _Block(self.num_filters[0], self.layer_nums[0], dtype=self.dtype,
+        x4b = _Block(self.num_filters[0], self.layer_nums[0], dtype=self.dtype, quant=self.quant,
                      name="block_4")(x4b, train)
         # head stride 4
         up43 = _DeBlock(self.in_channels[2], dtype=self.dtype, name="top_down_43")(
             x4b, train
         )
         x3b = jnp.concatenate([x3, up43], axis=-1)
-        x3b = _Block(self.num_filters[1], self.layer_nums[1], dtype=self.dtype,
+        x3b = _Block(self.num_filters[1], self.layer_nums[1], dtype=self.dtype, quant=self.quant,
                      name="block_3")(x3b, train)
         return (x4b, x3b)
 
@@ -162,6 +181,7 @@ class RPNGV2(nn.Module):
     in_channels: Sequence[int]
     num_filters: Sequence[int]
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, feats, train: bool = True):
@@ -169,22 +189,22 @@ class RPNGV2(nn.Module):
         x4 = _feat(feats["conv4"])
         x5 = _feat(feats["conv5"])
         # head stride 8
-        r4 = _ConvBNReLU(self.num_filters[0] // 2, dtype=self.dtype,
+        r4 = _ConvBNReLU(self.num_filters[0] // 2, dtype=self.dtype, quant=self.quant,
                          name="reduce_4")(x4, train)
-        x5b = _Block(self.in_channels[0], self.layer_nums[0], dtype=self.dtype,
+        x5b = _Block(self.in_channels[0], self.layer_nums[0], dtype=self.dtype, quant=self.quant,
                      name="block_5")(x5, train)
         up54 = _DeBlock(self.num_filters[0] // 2, dtype=self.dtype,
                         name="top_down_54")(x5b, train)
         x4b = jnp.concatenate([r4, up54], axis=-1)
-        x4b = _Block(self.num_filters[0], self.layer_nums[0], dtype=self.dtype,
+        x4b = _Block(self.num_filters[0], self.layer_nums[0], dtype=self.dtype, quant=self.quant,
                      name="block_4")(x4b, train)
         # head stride 4
-        r3 = _ConvBNReLU(self.num_filters[1] // 2, dtype=self.dtype,
+        r3 = _ConvBNReLU(self.num_filters[1] // 2, dtype=self.dtype, quant=self.quant,
                          name="reduce_3")(x3, train)
         up43 = _DeBlock(self.num_filters[1] // 2, dtype=self.dtype,
                         name="top_down_43")(x4b, train)
         x3b = jnp.concatenate([r3, up43], axis=-1)
-        x3b = _Block(self.num_filters[1], self.layer_nums[1], dtype=self.dtype,
+        x3b = _Block(self.num_filters[1], self.layer_nums[1], dtype=self.dtype, quant=self.quant,
                      name="block_3")(x3b, train)
         return (x4b, x3b)
 
@@ -202,6 +222,7 @@ class RPN(nn.Module):
     us_num_filters: Sequence[int]
     in_channels: int
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -225,7 +246,7 @@ class RPN(nn.Module):
                                 name=f"block{i}_bn0")(x, None, train)
             x = nn.relu(x)
             for j in range(n_blocks):
-                x = _ConvBNReLU(feats, dtype=self.dtype,
+                x = _ConvBNReLU(feats, dtype=self.dtype, quant=self.quant,
                                 name=f"block{i}_conv{j + 1}")(x, train)
             if i - up_start >= 0:
                 k = i - up_start

@@ -188,7 +188,12 @@ def _scatter_fwd_impl(point_feats, flat_ids, valid, height, width, tile_rows):
 # ~0.3-0.5 TFLOP of bf16 matmul replaces the serial loop entirely.
 # ---------------------------------------------------------------------------
 
-_MXU_CHUNK = 512
+# round-4 interleaved sweep (tools/bench_r4_probe.py phase3, xla-dedup
+# slim kernel): 256 beats 512 by ~0.7-1.3 ms at the 262k -> 1440^2 x 32
+# workload in every same-round comparison — the smaller chunk wastes less
+# matmul width on tiles that own only a few hundred points; tile_rows is
+# flat (1/2/4) under the slim kernel.
+_MXU_CHUNK = 256
 
 
 def _mxu_kernel(tile_starts_ref, ids_ref, feats_ref, grid_ref,

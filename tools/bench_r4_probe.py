@@ -459,8 +459,100 @@ def phase2():
         timeit(f"mxu scatter xla-dedup tr={tr}", scat_tr, featsd, idsd, okd)
 
 
+def phase3():
+    """Interleaved-timing sweep of tile_rows x chunk under the slim
+    (XLA-dedup) kernel: the relay latency drifts several ms between
+    compiles, so each variant is timed in alternating rounds against the
+    same-session floor, and the floor is re-measured per round."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synth_points_realistic
+    from pillarnet_lts_tpu.ops.pallas import voxelize_kernel as vk
+    from pillarnet_lts_tpu.ops.voxelize import PillarSpec, voxelize_points
+
+    pc_range = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
+    N, C, H, W = 262144, 32, 1440, 1440
+    pts, mask = _synth_points_realistic(1, N, pc_range)
+    spec = PillarSpec(0.075, pc_range)
+
+    @jax.jit
+    def make_inputs(p, m, key):
+        feats, ids, ok = voxelize_points(p, m, spec)
+        f = jax.nn.relu(jax.random.normal(key, (1, N, C), jnp.bfloat16))
+        return f, ids, ok
+
+    featsd, idsd, okd = make_inputs(
+        jnp.asarray(pts), jnp.asarray(mask), jax.random.PRNGKey(0)
+    )
+    featsd = jax.block_until_ready(featsd)
+
+    @jax.jit
+    def tiny(x):
+        return x + 1.0
+
+    z = jnp.zeros(())
+    float(np.asarray(tiny(z)))
+
+    def measure_floor():
+        fs = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            float(np.asarray(tiny(z)))
+            fs.append(time.perf_counter() - t0)
+        return float(np.median(fs))
+
+    variants = []
+    for tr, ch in ((1, 512), (2, 512), (4, 512), (1, 256), (2, 256)):
+        def make(tr=tr, ch=ch):
+            @jax.jit
+            def scat(f, i, o):
+                prev = vk._MXU_CHUNK
+                vk._MXU_CHUNK = ch
+                try:
+                    g, occ = vk.pillar_scatter_max_mxu(
+                        f, i, o, H, W, tr, True, 1)
+                finally:
+                    vk._MXU_CHUNK = prev
+                return g.astype(jnp.float32).sum() + occ.sum()
+            return scat
+
+        variants.append((f"tr={tr} ch={ch}", make()))
+
+    # compile all first
+    for name, fn in variants:
+        t0 = time.perf_counter()
+        s = float(np.asarray(fn(featsd, idsd, okd)))
+        print(f"[compile] {name}: {time.perf_counter() - t0:.1f}s "
+              f"(checksum {s:.3e})", flush=True)
+
+    results = {name: [] for name, _ in variants}
+    for rnd in range(4):
+        floor = measure_floor()
+        for name, fn in variants:
+            ts = []
+            for _ in range(6):
+                t0 = time.perf_counter()
+                float(np.asarray(fn(featsd, idsd, okd)))
+                ts.append(time.perf_counter() - t0)
+            results[name].append(float(np.median(ts)) - floor)
+        print(f"[round {rnd}] floor {floor * 1000:.2f} ms | "
+              + " | ".join(f"{n}: {results[n][-1] * 1000:.2f}"
+                           for n, _ in variants), flush=True)
+    for name, _ in variants:
+        vals = sorted(results[name])
+        print(f"[final] {name}: median {np.median(vals) * 1000:.2f} ms "
+              f"min {vals[0] * 1000:.2f} ms", flush=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "phase2":
         phase2()
+    elif len(sys.argv) > 1 and sys.argv[1] == "phase3":
+        phase3()
     else:
         main()
