@@ -195,6 +195,7 @@ def test_dataset_native_evaluation(tmp_path):
     assert (tmp_path / "waymo_metrics.json").exists()
 
 
+@pytest.mark.slow
 def test_matches_independent_oracle_fixture():
     """Fixture comparison against an independent re-derivation of the
     Waymo protocol (judge item r4-#5): deterministic randomized 10-segment
