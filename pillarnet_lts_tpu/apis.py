@@ -16,6 +16,15 @@ from .solver import build_optimizer
 
 def build_model_from_cfg(cfg):
     model_cfg = dict(cfg.model)
+    try:
+        import jax
+
+        per_dev = max(
+            1, int(cfg.data["samples_per_gpu"]) // jax.device_count()
+        )
+        default_remat_policy(model_cfg, per_dev)
+    except Exception:
+        pass  # eval-only configs without a data section
     return build_detector(
         model_cfg, train_cfg=cfg.train_cfg, test_cfg=cfg.test_cfg
     )
