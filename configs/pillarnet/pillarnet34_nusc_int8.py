@@ -1,7 +1,7 @@
-"""PillarNet-34 nuScenes, int8-quantized backbone deploy configuration.
+"""PillarNet-34 nuScenes, int8-quantized deploy configuration.
 
-The bf16 serving config with the backbone conv cores switched to the int8
-deploy path (post-training quantization; see `models/backbones/base.py`
+The bf16 serving config with the whole conv/matmul compute path — PFE MLP,
+backbone, neck, and center-head convs — switched to the int8 deploy path (post-training quantization; see `models/backbones/base.py`
 and `runtime/quantize.py`). Calibrate activation scales before serving:
 `tools/dist_test.py --int8` does it inline; `tools/export_serving.py
 --int8` bakes them into the StableHLO artifact. Checkpoints are identical
@@ -36,6 +36,7 @@ model = dict(
         num_filters=(32,),
         pillar_size=pillar_size,
         pc_range=point_cloud_range,
+        quant=True,
     ),
     backbone=dict(type="PillarResNet34", in_channels=32, quant=True),
     neck=dict(
@@ -43,9 +44,11 @@ model = dict(
         layer_nums=[5, 5],
         num_filters=256,
         in_channels=[256, 256],
+        quant=True,
     ),
     bbox_head=dict(
         type="CenterHead",
+        quant=True,
         tasks=tasks,
         in_channels=[256],
         code_weights=[1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2, 0.2, 1.0, 1.0],

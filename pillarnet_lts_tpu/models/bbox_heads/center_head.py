@@ -68,6 +68,13 @@ class SepHead(nn.Module):
     init_bias: float = -2.19
     dtype: Any = jnp.float32
     in_channels: int = 64
+    # int8 deploy mode for the fused wide first conv (the head's dominant
+    # cost): one shared per-tensor input scale (the branches share one
+    # input), per-output-channel weights on the concatenated kernel, BN
+    # fold riding the dequant vector — the same recipe as the backbone
+    # (`backbones/base.py` module comment). The block-diagonal projection
+    # stays bf16 (sum(outs) ~26 of 448 lanes — negligible compute).
+    quant: bool = False
 
     def setup(self):
         convs = {}
@@ -133,9 +140,38 @@ class SepHead(nn.Module):
                     cb = self._convs[f"{h}_conv0"].bias
                     inv.append(i_)
                     shift.append(cb * i_ + s_)
-                y = nn.relu(self._conv3x3(
-                    x, k0 * jnp.concatenate(inv), jnp.concatenate(shift)
-                ))
+                inv = jnp.concatenate(inv)
+                shift = jnp.concatenate(shift)
+                if self.quant and self.has_variable("quant", "in_absmax"):
+                    from ..backbones.base import (
+                        conv_core_int8,
+                        quantize_act,
+                    )
+
+                    s_x = jnp.maximum(
+                        self.get_variable("quant", "in_absmax"), 1e-6
+                    ) / 127.0
+                    s_w = jnp.maximum(
+                        jnp.max(jnp.abs(k0), axis=(0, 1, 2)) / 127.0, 1e-12
+                    )
+                    wq = jnp.clip(
+                        jnp.round(k0 * (1.0 / s_w)), -127.0, 127.0
+                    ).astype(jnp.int8)
+                    yq = conv_core_int8(
+                        quantize_act(x, s_x), wq, 1, ((1, 1), (1, 1))
+                    )
+                    y = nn.relu((
+                        yq.astype(jnp.float32) * (s_x * s_w * inv) + shift
+                    ).astype(self.dtype))
+                else:
+                    if self.quant:
+                        self.sow(
+                            "quant", "in_absmax",
+                            jnp.max(jnp.abs(x)).astype(jnp.float32),
+                            reduce_fn=jnp.maximum,
+                            init_fn=lambda: jnp.zeros((), jnp.float32),
+                        )
+                    y = nn.relu(self._conv3x3(x, k0 * inv, shift))
             # extra hidden convs (num_conv > 2): per-branch, unfused
             for j, h in enumerate(fused):
                 z = y[..., j * hc:(j + 1) * hc]
@@ -677,6 +713,9 @@ class CenterHead(nn.Module):
     pillar_size: float = 0.1
     point_cloud_range: Sequence[float] = (-75.2, -75.2, -2, 75.2, 75.2, 4)
     dtype: Any = jnp.float32
+    # int8 deploy mode: shared 3x3 conv + SepHead wide convs run the int8
+    # core at eval once calibrated (see SepHead.quant / backbones/base.py)
+    quant: bool = False
 
     @nn.nowrap
     def math(self) -> CenterHeadMath:
@@ -704,15 +743,22 @@ class CenterHead(nn.Module):
         assert len(x) == len(self.in_channels)
         share_feats = []
         for k in range(len(self.in_channels)):
-            y = nn.Conv(
-                self.share_channel, (3, 3), padding=((1, 1), (1, 1)),
-                use_bias=True, kernel_init=_KAIMING,
-                dtype=self.dtype, param_dtype=jnp.float32,
-                name=f"share_conv{k}",
-            )(x[k])
-            y = MaskedBatchNorm(
+            # shared conv + BN: folded at eval (and int8-capable) like the
+            # backbone convs; parameter paths match the original nn.Conv
+            # form ("share_conv{k}/kernel", "share_conv{k}/bias")
+            conv = MaskedConv(
+                self.share_channel, x[k].shape[-1], kernel_size=3,
+                use_bias=True, kernel_init=_KAIMING, dtype=self.dtype,
+                quant=self.quant, name=f"share_conv{k}",
+            )
+            bn = MaskedBatchNorm(
                 self.share_channel, dtype=self.dtype, name=f"share_bn{k}"
-            )(y, mask=None, train=train)
+            )
+            if train:
+                y = bn(conv(x[k]), mask=None, train=True)
+            else:
+                inv, shift = bn.fold_factors()
+                y = conv.folded(x[k], inv, shift)
             share_feats.append(nn.relu(y))
 
         ret_dicts = []
@@ -722,7 +768,7 @@ class CenterHead(nn.Module):
             ret_dicts.append(
                 SepHead(
                     heads, dtype=self.dtype, name=f"task{k}",
-                    in_channels=self.share_channel,
+                    in_channels=self.share_channel, quant=self.quant,
                 )(share_feats[self.task_idx[k]], train)
             )
         return ret_dicts

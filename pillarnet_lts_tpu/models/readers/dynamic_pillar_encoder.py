@@ -16,6 +16,7 @@ The dense grid + occupancy pair is the TPU-native stand-in for
 
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -23,6 +24,77 @@ from ...ops.voxelize import PillarSpec, voxelize_points
 from ...ops.scatter import pillar_scatter_max
 from ..registry import READERS
 from ..utils.norm import MaskedBatchNorm
+
+
+class _PFNDense(nn.Module):
+    """Bias-free Linear for the shared per-point MLP with the following
+    BN's affine foldable at eval and an int8 deploy core. Unlike the conv
+    path's per-tensor activation scales, the MLP input mixes channels of
+    wildly different ranges (metric coordinates ~±54 next to ~unit
+    intensity/time-lag), so activations quantize per-INPUT-channel — free
+    for a matmul: the channel scale folds into the weight rows
+    (y = Σ_c (x_c/s_c)·(s_c·w_c)), and the rescaled weights then quantize
+    per-output-channel as usual. Parameter path stays
+    "pfn_dense_{k}/kernel" ((in, out), matching the previous nn.Dense)."""
+
+    features: int
+    in_features: int
+    dtype: Any = jnp.float32
+    quant: bool = False
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
+            (self.in_features, self.features), jnp.float32,
+        )
+
+    def __call__(self, x):
+        return x.astype(self.dtype) @ self.kernel.astype(self.dtype)
+
+    def folded(self, x, inv, shift, mask=None):
+        """matmul with the following BN folded: BN(x @ W) = x @ (W*inv) + shift.
+
+        `mask` (bool, x.shape[:-1]): restrict the calibration absmax to
+        valid rows — padded point slots carry arbitrary values that must
+        not inflate the activation scales."""
+        if self.quant and self.has_variable("quant", "in_absmax"):
+            s_x = jnp.maximum(
+                self.get_variable("quant", "in_absmax"), 1e-6
+            ) / 127.0  # (Cin,) per-input-channel
+            w_scaled = self.kernel * s_x[:, None]
+            s_w = jnp.maximum(
+                jnp.max(jnp.abs(w_scaled), axis=0) / 127.0, 1e-12
+            )
+            wq = jnp.clip(
+                jnp.round(w_scaled * (1.0 / s_w)), -127.0, 127.0
+            ).astype(jnp.int8)
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) * (1.0 / s_x)),
+                -127.0, 127.0,
+            ).astype(jnp.int8)
+            yq = jax.lax.dot_general(
+                xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return (
+                yq.astype(jnp.float32) * (s_w * inv) + shift
+            ).astype(self.dtype)
+        if self.quant:
+            ax = jnp.abs(x)
+            if mask is not None:
+                ax = ax * mask[..., None].astype(ax.dtype)
+            self.sow(
+                "quant", "in_absmax",
+                jnp.max(ax, axis=tuple(range(x.ndim - 1))
+                        ).astype(jnp.float32),
+                reduce_fn=jnp.maximum,
+                init_fn=lambda: jnp.zeros((self.in_features,), jnp.float32),
+            )
+        y = x.astype(self.dtype) @ (
+            self.kernel * inv
+        ).astype(self.dtype)
+        return y + shift.astype(y.dtype)
 
 
 @READERS.register_module
@@ -38,6 +110,8 @@ class DynamicPFE(nn.Module):
     # TPU recast of the reference's spconv execution. The scatter-to-dense
     # step disappears entirely in this mode.
     compact_kmax: int = 0
+    # int8 deploy mode for the shared MLP (see _PFNDense)
+    quant: bool = False
 
     @property
     def spec(self) -> PillarSpec:
@@ -60,20 +134,21 @@ class DynamicPFE(nn.Module):
         dims = [2 + self.in_channels] + list(self.num_filters)
         x = feats.astype(self.dtype)
         for k in range(len(dims) - 1):
-            x = nn.Dense(
-                dims[k + 1],
-                use_bias=False,
-                kernel_init=nn.initializers.variance_scaling(
-                    2.0, "fan_in", "normal"
-                ),
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
+            dense = _PFNDense(
+                dims[k + 1], dims[k], dtype=self.dtype, quant=self.quant,
                 name=f"pfn_dense_{k}",
-            )(x)
-            x = MaskedBatchNorm(
+            )
+            bn = MaskedBatchNorm(
                 dims[k + 1], momentum=0.01, eps=1e-3, dtype=self.dtype,
                 name=f"pfn_bn_{k}",
-            )(x, mask=valid, train=train)
+            )
+            if train:
+                x = bn(dense(x), mask=valid, train=True)
+            else:
+                # eval: BN folded into the matmul (valid-row masking is
+                # irrelevant to the affine; the scatter drops invalid rows)
+                inv, shift = bn.fold_factors()
+                x = dense.folded(x, inv, shift, mask=valid)
             x = nn.relu(x)
 
         if self.compact_kmax > 0:

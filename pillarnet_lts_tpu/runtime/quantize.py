@@ -20,13 +20,15 @@ import jax.numpy as jnp
 
 
 def enable_backbone_quant(model_cfg):
-    """Flip the backbone's int8 flag in a model config dict, handling both
-    single-stage ({'backbone': ...}) and two-stage
-    ({'first_stage_cfg': {'backbone': ...}}) layouts."""
-    if "backbone" in model_cfg:
-        model_cfg["backbone"]["quant"] = True
-    else:
-        model_cfg["first_stage_cfg"]["backbone"]["quant"] = True
+    """Flip the int8 deploy flags in a model config dict — backbone, and
+    (round 4) reader MLP, neck, and center head, which together cover the
+    whole conv/matmul compute path. Handles both single-stage
+    ({'backbone': ...}) and two-stage ({'first_stage_cfg': ...}) layouts."""
+    stage1 = (model_cfg if "backbone" in model_cfg
+              else model_cfg["first_stage_cfg"])
+    for comp in ("backbone", "reader", "neck", "bbox_head"):
+        if comp in stage1 and isinstance(stage1[comp], dict):
+            stage1[comp]["quant"] = True
     return model_cfg
 
 
@@ -65,7 +67,13 @@ def calibrate(model, variables, batches, reduce="max"):
     if not per_batch:
         raise ValueError("calibrate() needs at least one batch")
     if reduce == "max":
-        quant = jax.tree.map(lambda *xs: jnp.asarray(max(xs)), *per_batch)
+        from functools import reduce as _reduce
+
+        # elementwise maximum — scales may be vectors (the PFE MLP
+        # calibrates per-input-channel), so python max() is wrong
+        quant = jax.tree.map(
+            lambda *xs: jnp.asarray(_reduce(jnp.maximum, xs)), *per_batch
+        )
     elif reduce == "mean":
         quant = jax.tree.map(
             lambda *xs: jnp.asarray(sum(xs) / len(xs)), *per_batch
