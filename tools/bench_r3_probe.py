@@ -1,4 +1,7 @@
-"""Round-3 on-chip A/B probes, one process.
+"""ARCHIVED round-3 experiment log (kept as the record of the measurements
+cited in docs/ROADMAP.md; superseded by tools/bench_r4_probe.py — the
+round-4 decomposition overturned this probe's per-slot-DMA conclusion).
+Not maintained; prefer tools/profile_tpu.py for per-phase budgets.
 
 Two decision questions, each measured against the per-run dispatch floor:
 

@@ -549,10 +549,155 @@ def phase3():
               f"min {vals[0] * 1000:.2f} ms", flush=True)
 
 
+def phase4():
+    """Train-forward BN fusion-tax probe (judge item r4-#6).
+
+    The training forward runs ~94 ms on-chip vs ~59 eval; ROADMAP blames
+    the masked fp32 BN statistics passes (astype(f32) materialization +
+    a second consumer per conv output). This times a conv2-stage-shaped
+    chain (9x conv 64ch over the bs=1 W-tiled (8, 720, 104, 64) form) in
+    four formulations:
+
+      eval_folded   BN folded into conv weights (the eval lower bound)
+      train_cur     current MaskedBatchNorm train semantics: astype(f32),
+                    masked sum/sumsq, f32 normalize, cast back
+      train_accum   no astype: masked sums via jnp.sum(..., dtype=f32)
+                    straight off the bf16 conv output, normalize applied
+                    as a bf16 affine (inv/shift computed f32)
+      train_half    astype-free stats like train_accum but f32 normalize
+                    (accuracy-identical to train_cur; isolates the
+                    normalize-pass dtype from the stats-pass dtype)
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def tiny(x):
+        return x + 1.0
+
+    z = jnp.zeros(())
+    float(np.asarray(tiny(z)))
+    floors = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(np.asarray(tiny(z)))
+        floors.append(time.perf_counter() - t0)
+    floor = float(np.median(floors))
+    print(f"[floor] {floor * 1000:.2f} ms", flush=True)
+
+    def timeit(name, fn, *fargs, iters=8):
+        t0 = time.perf_counter()
+        s = float(np.asarray(fn(*fargs)))
+        print(f"[compile] {name}: {time.perf_counter() - t0:.1f}s "
+              f"(checksum {s:.3e})", flush=True)
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(np.asarray(fn(*fargs)))
+            times.append(time.perf_counter() - t0)
+        t = float(np.median(times))
+        print(f"[steady]  {name}: {t * 1000:.2f} ms raw, "
+              f"{(t - floor) * 1000:.2f} ms on-chip", flush=True)
+        return t - floor
+
+    B, H, W, C, NCONV = 8, 720, 104, 64, 9
+    key = jax.random.PRNGKey(0)
+    x0 = jax.jit(lambda k: jax.nn.relu(
+        jax.random.normal(k, (B, H, W, C), jnp.bfloat16)))(key)
+    wts = jax.jit(lambda k: jax.random.normal(
+        k, (NCONV, 3, 3, C, C), jnp.float32) * 0.05)(key)
+    mask = jax.jit(lambda k: jax.random.uniform(k, (B, H, W)) > 0.3)(key)
+    scale = jnp.ones((C,), jnp.float32)
+    bias = jnp.zeros((C,), jnp.float32)
+
+    def conv(x, w):
+        return lax.conv_general_dilated(
+            x, w.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    @jax.jit
+    def eval_folded(x, ws, m):
+        mb = m.astype(jnp.bfloat16)[..., None]
+        for i in range(NCONV):
+            x = jax.nn.relu(conv(x, ws[i]) * mb)
+        return x.astype(jnp.float32).sum()
+
+    def bn_stats_cur(y, m):
+        yf = y.astype(jnp.float32)
+        mf = m.astype(jnp.float32)[..., None]
+        cnt = jnp.maximum(mf.sum(), 1.0)
+        s = (yf * mf).sum(axis=(0, 1, 2))
+        ss = (yf * yf * mf).sum(axis=(0, 1, 2))
+        mean = s / cnt
+        var = jnp.maximum(ss / cnt - mean * mean, 0.0)
+        return yf, mean, var
+
+    @jax.jit
+    def train_cur(x, ws, m):
+        mf32 = m.astype(jnp.float32)[..., None]
+        for i in range(NCONV):
+            y = conv(x, ws[i])
+            yf, mean, var = bn_stats_cur(y, m)
+            inv = lax.rsqrt(var + 1e-3) * scale
+            out = (yf - mean) * inv + bias
+            out = out * mf32
+            x = jax.nn.relu(out).astype(jnp.bfloat16)
+        return x.astype(jnp.float32).sum() + mean.sum()
+
+    @jax.jit
+    def train_accum(x, ws, m):
+        mb = m.astype(jnp.bfloat16)[..., None]
+        cnt = jnp.maximum(m.astype(jnp.float32).sum(), 1.0)
+        for i in range(NCONV):
+            y = conv(x, ws[i])
+            ym = y * mb
+            s = jnp.sum(ym, axis=(0, 1, 2), dtype=jnp.float32)
+            ss = jnp.sum(ym * ym, axis=(0, 1, 2), dtype=jnp.float32)
+            mean = s / cnt
+            var = jnp.maximum(ss / cnt - mean * mean, 0.0)
+            inv = (lax.rsqrt(var + 1e-3) * scale)
+            shift = (bias - mean * inv)
+            out = y * inv.astype(y.dtype) + shift.astype(y.dtype)
+            x = jax.nn.relu(out * mb)
+        return x.astype(jnp.float32).sum() + mean.sum()
+
+    @jax.jit
+    def train_half(x, ws, m):
+        mb = m.astype(jnp.bfloat16)[..., None]
+        mf32 = m.astype(jnp.float32)[..., None]
+        cnt = jnp.maximum(m.astype(jnp.float32).sum(), 1.0)
+        for i in range(NCONV):
+            y = conv(x, ws[i])
+            ym = y * mb
+            s = jnp.sum(ym, axis=(0, 1, 2), dtype=jnp.float32)
+            ss = jnp.sum(ym * ym, axis=(0, 1, 2), dtype=jnp.float32)
+            mean = s / cnt
+            var = jnp.maximum(ss / cnt - mean * mean, 0.0)
+            inv = lax.rsqrt(var + 1e-3) * scale
+            out = (y.astype(jnp.float32) - mean) * inv + bias
+            out = out * mf32
+            x = jax.nn.relu(out).astype(jnp.bfloat16)
+        return x.astype(jnp.float32).sum() + mean.sum()
+
+    timeit("eval_folded (lower bound)", eval_folded, x0, wts, mask)
+    timeit("train_cur (astype f32 stats)", train_cur, x0, wts, mask)
+    timeit("train_half (accum stats, f32 normalize)", train_half,
+           x0, wts, mask)
+    timeit("train_accum (accum stats, bf16 affine)", train_accum,
+           x0, wts, mask)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "phase2":
         phase2()
     elif len(sys.argv) > 1 and sys.argv[1] == "phase3":
         phase3()
+    elif len(sys.argv) > 1 and sys.argv[1] == "phase4":
+        phase4()
     else:
         main()
