@@ -1,8 +1,10 @@
 """PillarNet-34 nuScenes, int8-quantized deploy configuration.
 
-The bf16 serving config with the whole conv/matmul compute path — PFE MLP,
-backbone, neck, and center-head convs — switched to the int8 deploy path (post-training quantization; see `models/backbones/base.py`
-and `runtime/quantize.py`). Calibrate activation scales before serving:
+The bf16 serving config with the conv/matmul compute path — PFE MLP,
+backbone, and neck — switched to the int8 deploy path (the center head
+stays bf16: its int8 mode measurably costs mAP, see runtime/quantize.py).
+Post-training quantization, `models/backbones/base.py`. Calibrate
+activation scales before serving:
 `tools/dist_test.py --int8` does it inline; `tools/export_serving.py
 --int8` bakes them into the StableHLO artifact. Checkpoints are identical
 to the bf16 config's. Standalone copy of the bf16 config (the config
@@ -48,7 +50,8 @@ model = dict(
     ),
     bbox_head=dict(
         type="CenterHead",
-        quant=True,
+        # int8 head measurably costs mAP (see runtime/quantize.py) — bf16
+        quant=False,
         tasks=tasks,
         in_channels=[256],
         code_weights=[1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2, 0.2, 1.0, 1.0],

@@ -143,33 +143,44 @@ class SepHead(nn.Module):
                 inv = jnp.concatenate(inv)
                 shift = jnp.concatenate(shift)
                 if self.quant and self.has_variable("quant", "in_absmax"):
-                    from ..backbones.base import (
-                        conv_core_int8,
-                        quantize_act,
-                    )
+                    from ..backbones.base import conv_core_int8
 
+                    # per-INPUT-channel activation scales, folded into the
+                    # kernel rows (y = sum_c (x_c/s_c) * (s_c*w_c)): the
+                    # shared head feature has strongly skewed channel
+                    # ranges, and a per-tensor scale measurably collapses
+                    # demo mAP (0.28 -> 0.09 — see ROADMAP round 4); the
+                    # fold costs nothing at runtime, exactly like the PFE
+                    # MLP's recipe (readers/dynamic_pillar_encoder.py)
                     s_x = jnp.maximum(
                         self.get_variable("quant", "in_absmax"), 1e-6
-                    ) / 127.0
+                    ) / 127.0  # (Cin,)
+                    w_scaled = k0 * s_x[None, None, :, None]
                     s_w = jnp.maximum(
-                        jnp.max(jnp.abs(k0), axis=(0, 1, 2)) / 127.0, 1e-12
+                        jnp.max(jnp.abs(w_scaled), axis=(0, 1, 2)) / 127.0,
+                        1e-12,
                     )
                     wq = jnp.clip(
-                        jnp.round(k0 * (1.0 / s_w)), -127.0, 127.0
+                        jnp.round(w_scaled * (1.0 / s_w)), -127.0, 127.0
                     ).astype(jnp.int8)
-                    yq = conv_core_int8(
-                        quantize_act(x, s_x), wq, 1, ((1, 1), (1, 1))
-                    )
+                    xq = jnp.clip(
+                        jnp.round(x.astype(jnp.float32) * (1.0 / s_x)),
+                        -127.0, 127.0,
+                    ).astype(jnp.int8)
+                    yq = conv_core_int8(xq, wq, 1, ((1, 1), (1, 1)))
                     y = nn.relu((
-                        yq.astype(jnp.float32) * (s_x * s_w * inv) + shift
+                        yq.astype(jnp.float32) * (s_w * inv) + shift
                     ).astype(self.dtype))
                 else:
                     if self.quant:
                         self.sow(
                             "quant", "in_absmax",
-                            jnp.max(jnp.abs(x)).astype(jnp.float32),
+                            jnp.max(
+                                jnp.abs(x), axis=(0, 1, 2)
+                            ).astype(jnp.float32),
                             reduce_fn=jnp.maximum,
-                            init_fn=lambda: jnp.zeros((), jnp.float32),
+                            init_fn=lambda: jnp.zeros(
+                                (self.in_channels,), jnp.float32),
                         )
                     y = nn.relu(self._conv3x3(x, k0 * inv, shift))
             # extra hidden convs (num_conv > 2): per-branch, unfused

@@ -21,12 +21,18 @@ import jax.numpy as jnp
 
 def enable_backbone_quant(model_cfg):
     """Flip the int8 deploy flags in a model config dict — backbone, and
-    (round 4) reader MLP, neck, and center head, which together cover the
-    whole conv/matmul compute path. Handles both single-stage
+    (round 4) reader MLP and neck, which measured accuracy-neutral on the
+    non-overfit demo model (mAP 0.283 fp vs 0.283 backbone / 0.283 reader
+    / 0.280 neck). The CENTER HEAD is deliberately left bf16: its int8
+    mode exists (`bbox_head.quant=True`) but the SepHead fused wide conv
+    measurably collapses demo mAP (0.283 -> 0.086 per-tensor scales,
+    0.192 even with per-input-channel scales — the 8-bit hidden features
+    are too coarse for the metric regression branches), and the head is
+    only ~2 ms of the budget. Handles both single-stage
     ({'backbone': ...}) and two-stage ({'first_stage_cfg': ...}) layouts."""
     stage1 = (model_cfg if "backbone" in model_cfg
               else model_cfg["first_stage_cfg"])
-    for comp in ("backbone", "reader", "neck", "bbox_head"):
+    for comp in ("backbone", "reader", "neck"):
         if comp in stage1 and isinstance(stage1[comp], dict):
             stage1[comp]["quant"] = True
     return model_cfg

@@ -549,6 +549,103 @@ def phase3():
               f"min {vals[0] * 1000:.2f} ms", flush=True)
 
 
+def phase5():
+    """In-model reader-graph A/B of the scatter dedup placement.
+
+    The isolated scatter probe says xla-dedup wins (9.7 vs 13.9 ms same
+    session), but the round-4 full-model profile shows the READER phase
+    (voxelize + PFE + scatter in one jit) regressing ~17 -> ~38 ms
+    on-chip. Hypothesis: inside the larger graph XLA fuses the payload
+    gather into each of the 9 dedup shift passes (producer duplication),
+    re-gathering 9x. This times the READER-shaped graph (voxelize + MLP +
+    scatter, one jit) under both dedup modes, plus an xla-dedup variant
+    with the gather forced un-fusable via optimization_barrier."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synth_points_realistic
+    from pillarnet_lts_tpu.ops.pallas import voxelize_kernel as vk
+    from pillarnet_lts_tpu.ops.voxelize import PillarSpec, voxelize_points
+
+    @jax.jit
+    def tiny(x):
+        return x + 1.0
+
+    z = jnp.zeros(())
+    float(np.asarray(tiny(z)))
+    floors = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(np.asarray(tiny(z)))
+        floors.append(time.perf_counter() - t0)
+    floor = float(np.median(floors))
+    print(f"[floor] {floor * 1000:.2f} ms", flush=True)
+
+    def timeit(name, fn, *fargs, iters=8):
+        t0 = time.perf_counter()
+        s = float(np.asarray(fn(*fargs)))
+        print(f"[compile] {name}: {time.perf_counter() - t0:.1f}s "
+              f"(checksum {s:.3e})", flush=True)
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(np.asarray(fn(*fargs)))
+            times.append(time.perf_counter() - t0)
+        t = float(np.median(times))
+        print(f"[steady]  {name}: {t * 1000:.2f} ms raw, "
+              f"{(t - floor) * 1000:.2f} ms on-chip", flush=True)
+        return t - floor
+
+    pc_range = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
+    N, C, H, W = 262144, 32, 1440, 1440
+    pts, mask = _synth_points_realistic(1, N, pc_range)
+    ptsd, maskd = jnp.asarray(pts), jnp.asarray(mask)
+    spec = PillarSpec(0.075, pc_range)
+    key = jax.random.PRNGKey(0)
+    wmlp = jax.jit(lambda k: jax.random.normal(
+        k, (7, C), jnp.float32) * 0.3)(key)
+
+    def reader(p, m, w, barrier):
+        feats, ids, ok = voxelize_points(p, m, spec)
+        x = jax.nn.relu(
+            feats.astype(jnp.bfloat16) @ w.astype(jnp.bfloat16))
+        if barrier:
+            x = jax.lax.optimization_barrier(x)
+        g, occ = vk.pillar_scatter_max_mxu(x, ids, ok, H, W, 2, True, 1)
+        return g.astype(jnp.float32).sum() + occ.sum()
+
+    for mode in ("kernel", "xla"):
+        vk.set_mxu_dedup(mode)
+        timeit(f"reader dedup={mode}",
+               jax.jit(partial(reader, barrier=False)), ptsd, maskd, wmlp)
+    vk.set_mxu_dedup("xla")
+    timeit("reader dedup=xla +barrier",
+           jax.jit(partial(reader, barrier=True)), ptsd, maskd, wmlp)
+    # isolated scatter again in the SAME session for a clean delta
+    @jax.jit
+    def prep_in(p, m, k):
+        feats, ids, ok = voxelize_points(p, m, spec)
+        f = jax.nn.relu(jax.random.normal(k, (1, N, C), jnp.bfloat16))
+        return f, ids, ok
+
+    f0, i0, o0 = prep_in(ptsd, maskd, key)
+    f0 = jax.block_until_ready(f0)
+    for mode in ("kernel", "xla"):
+        vk.set_mxu_dedup(mode)
+
+        @jax.jit
+        def scat(f, i, o):
+            g, occ = vk.pillar_scatter_max_mxu(f, i, o, H, W, 2, True, 1)
+            return g.astype(jnp.float32).sum() + occ.sum()
+
+        timeit(f"isolated dedup={mode}", scat, f0, i0, o0)
+    vk.set_mxu_dedup("xla")
+
+
 def phase4():
     """Train-forward BN fusion-tax probe (judge item r4-#6).
 
@@ -684,12 +781,42 @@ def phase4():
             x = jax.nn.relu(out).astype(jnp.bfloat16)
         return x.astype(jnp.float32).sum() + mean.sum()
 
-    timeit("eval_folded (lower bound)", eval_folded, x0, wts, mask)
-    timeit("train_cur (astype f32 stats)", train_cur, x0, wts, mask)
-    timeit("train_half (accum stats, f32 normalize)", train_half,
-           x0, wts, mask)
-    timeit("train_accum (accum stats, bf16 affine)", train_accum,
-           x0, wts, mask)
+    variants = [
+        ("eval_folded", eval_folded),
+        ("train_cur", train_cur),
+        ("train_half", train_half),
+        ("train_accum", train_accum),
+    ]
+    for name, fn in variants:
+        t0 = time.perf_counter()
+        s = float(np.asarray(fn(x0, wts, mask)))
+        print(f"[compile] {name}: {time.perf_counter() - t0:.1f}s "
+              f"(checksum {s:.3e})", flush=True)
+    # interleaved rounds: the relay latency drifts several ms within a
+    # session, so only same-round comparisons are trustworthy
+    results = {n: [] for n, _ in variants}
+    for rnd in range(4):
+        fs = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            float(np.asarray(tiny(z)))
+            fs.append(time.perf_counter() - t0)
+        fl = float(np.median(fs))
+        line = [f"[round {rnd}] floor {fl * 1000:.2f}"]
+        for name, fn in variants:
+            ts = []
+            for _ in range(6):
+                t0 = time.perf_counter()
+                float(np.asarray(fn(x0, wts, mask)))
+                ts.append(time.perf_counter() - t0)
+            t = float(np.median(ts)) - fl
+            results[name].append(t)
+            line.append(f"{name}: {t * 1000:.2f}")
+        print(" | ".join(line), flush=True)
+    for name, _ in variants:
+        v = sorted(results[name])
+        print(f"[final] {name}: median {np.median(v) * 1000:.2f} ms "
+              f"min {v[0] * 1000:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
@@ -699,5 +826,7 @@ if __name__ == "__main__":
         phase3()
     elif len(sys.argv) > 1 and sys.argv[1] == "phase4":
         phase4()
+    elif len(sys.argv) > 1 and sys.argv[1] == "phase5":
+        phase5()
     else:
         main()
