@@ -19,7 +19,8 @@ def test_measure_smoke_bf16_and_int8():
                        "configs", "demo", "pillarnet18_demo.py")
     for int8 in (False, True):
         m = bench._measure(cfg, n_frames=3, int8=int8,
-                           big_batch=8 if int8 else 0)
+                           big_batch=8 if int8 else 0,
+                           mem_ledger=not int8)
         assert m["real_p50"] > 0
         assert m["pipelined"] > 0
         assert m["bs4"] > 0
@@ -27,6 +28,10 @@ def test_measure_smoke_bf16_and_int8():
         assert m["dispatch_floor"] >= 0
         if int8:
             assert m["pipelined_bs8"] > 0
+        else:
+            # structured memory ledger: the graph-analysis fallback must
+            # produce a real number even without runtime memory_stats
+            assert m["peak_hbm_bytes"] and m["peak_hbm_bytes"] > 0
 
 
 @pytest.mark.slow
