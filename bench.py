@@ -205,25 +205,32 @@ def _measure(config_path, n_frames=24, int8=False, big_batch=0,
     # axis) — same pipelined protocol as bs=4, depth 2
     big = {}
     if big_batch:
-        reps = -(-big_batch // len(real_clouds))
-        pb = jnp.concatenate(
-            [p for p, _ in real_clouds] * reps, axis=0)[:big_batch]
-        mb = jnp.concatenate(
-            [m for _, m in real_clouds] * reps, axis=0)[:big_batch]
-        ob = fn(variables, pb, mb)
-        np.asarray(ob["scores"])  # compile + warm
-        n_pipe_b = 12
-        t0 = time.perf_counter()
-        outs_b = []
-        for _ in range(n_pipe_b):
-            outs_b.append(fn(variables, pb, mb))
-            if len(outs_b) > 2:
-                np.asarray(outs_b.pop(0)["scores"])
-        for o in outs_b:
-            np.asarray(o["scores"])
-        big[f"pipelined_bs{big_batch}"] = (
-            (time.perf_counter() - t0) / (n_pipe_b * big_batch)
-        )
+        # isolated: the remote compile helper has died on very large batch
+        # graphs (bs=16, HTTP 500) — a failure here must not discard the
+        # bs=1/bs=4 numbers already measured
+        try:
+            reps = -(-big_batch // len(real_clouds))
+            pb = jnp.concatenate(
+                [p for p, _ in real_clouds] * reps, axis=0)[:big_batch]
+            mb = jnp.concatenate(
+                [m for _, m in real_clouds] * reps, axis=0)[:big_batch]
+            ob = fn(variables, pb, mb)
+            np.asarray(ob["scores"])  # compile + warm
+            n_pipe_b = 12
+            t0 = time.perf_counter()
+            outs_b = []
+            for _ in range(n_pipe_b):
+                outs_b.append(fn(variables, pb, mb))
+                if len(outs_b) > 2:
+                    np.asarray(outs_b.pop(0)["scores"])
+            for o in outs_b:
+                np.asarray(o["scores"])
+            big[f"pipelined_bs{big_batch}"] = (
+                (time.perf_counter() - t0) / (n_pipe_b * big_batch)
+            )
+        except Exception as e:
+            print(f"# big_batch={big_batch} measurement failed: "
+                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
 
     graph_hbm = (_graph_hbm_bytes(fn, variables, *real_clouds[0])
                  if mem_ledger else None)

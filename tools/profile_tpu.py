@@ -70,7 +70,8 @@ def main():
             [(pts, mask), (jnp.asarray(p2), jnp.asarray(m2))],
         )
         print(f"[calibrate] {time.perf_counter() - t0:.1f}s", flush=True)
-    test_cfg = model.processed_test_cfg()
+    test_cfg = (model.processed_test_cfg()
+                if hasattr(model, "processed_test_cfg") else None)
 
     # per-phase dispatch floor: the relay round-trip drifts several ms
     # within a session (observed 24-41 ms across one day in round 4), so
@@ -103,6 +104,54 @@ def main():
         print(f"[steady] {name}: {t * 1000:.1f} ms raw | floor "
               f"{fl * 1000:.1f} | {(t - fl) * 1000:.1f} ms on-chip",
               flush=True)
+
+    if not hasattr(model, "predict"):
+        # two-stage (PillarRCNN): coarse budget — first-stage backbone
+        # forward, + proposal decode/NMS, full second stage (judge item
+        # r4-#3); finer first-stage splits come from profiling the
+        # corresponding single-stage config
+        def _leaves_sum(t):
+            return sum(
+                x.sum() for x in jax.tree_util.tree_leaves(t)
+                if hasattr(x, "sum")
+            )
+
+        @jax.jit
+        def rcnn_first(v, p, m):
+            def m_(mdl, p_, m_2, tr):
+                preds, bev, feats = mdl.single_det.forward_two_stage(
+                    p_, m_2, train=tr
+                )
+                return (_leaves_sum(preds) + _leaves_sum(bev)
+                        + _leaves_sum(feats))
+            return model.apply(v, p, m, False, method=m_)
+
+        timeit("rcnn first stage fwd", rcnn_first, variables, pts, mask)
+
+        @jax.jit
+        def rcnn_proposals(v, p, m):
+            def m_(mdl, p_, m_2, tr):
+                preds, bev, feats = mdl.single_det.forward_two_stage(
+                    p_, m_2, train=tr
+                )
+                first = mdl.single_det.predict(
+                    {}, preds, mdl.single_det.processed_test_cfg()
+                )
+                return _leaves_sum(first) + _leaves_sum(bev)
+            return model.apply(v, p, m, False, method=m_)
+
+        timeit("+ proposal decode/NMS", rcnn_proposals, variables, pts,
+               mask)
+
+        @jax.jit
+        def rcnn_full(v, p, m):
+            out = model.apply(v, p, m, train=False)
+            det = model.post_process(out)
+            return det["scores"].sum() + det["box3d_lidar"].sum()
+
+        timeit("full two-stage (incl. RoI head + rescoring)", rcnn_full,
+               variables, pts, mask)
+        return
 
     reader_cfg = cfg.model["reader"]
     spec = PillarSpec(
