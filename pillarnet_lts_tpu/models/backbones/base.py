@@ -206,6 +206,120 @@ def _tile4(v):
 
 
 # ---------------------------------------------------------------------------
+# H-only space-to-depth ("H-pack") execution of the 64-channel stage.
+#
+# Stage 2 (9x 64-ch SubM convs at 720^2) uses half the MXU's 128 output
+# lanes AND pads its physical lane dimension 64 -> 128, doubling every
+# conv's HBM bytes. Packing two H-rows into the channel dim
+# ((B, H, W, C) -> (B, H/2, W, 2C)) with a structured (3, 3, 2C, 2C)
+# kernel is an exact-cycles wash on the MXU (2x FLOPs at 2x lane
+# utilization) but halves the physical activation bytes and doubles the
+# matmul M-tile occupancy. Measured on the v5e (tools/bench_r4_hs2d_probe
+# .py, 9-conv chain at the in-model W-tiled shape (8, 720, 104, 64)):
+# bf16 ~9.1 -> ~3.5 ms, int8 ~6.3 -> ~1.0 ms, int8 numerics bit-exact
+# (the expansion only moves taps / inserts structural zeros).
+#
+# Fine output row 2r+p (phase p) at H-tap dy reads fine row 2r+p+dy =
+# coarse row r+t phase q with p+dy = 2t+q — each phase uses 2 of the 3
+# coarse H-taps; the other slots are structural zeros. Eval-only layout:
+# training keeps the fine path (masked BN statistics + backward were
+# measured layout-insensitive at this shape, ROADMAP round 4 phase 4).
+# ---------------------------------------------------------------------------
+
+
+def hpk_pack(x):
+    """(B, H, W, C) -> (B, H/2, W, 2C); phase-major channel blocks."""
+    b, h, w, c = x.shape
+    y = x.reshape(b, h // 2, 2, w, c)
+    return jnp.transpose(y, (0, 1, 3, 2, 4)).reshape(b, h // 2, w, 2 * c)
+
+
+def hpk_unpack(x, channels):
+    """(B, H/2, W, 2C) -> (B, H, W, C)."""
+    b, h2, w, _ = x.shape
+    y = x.reshape(b, h2, w, 2, channels)
+    return jnp.transpose(y, (0, 1, 3, 2, 4)).reshape(
+        b, h2 * 2, w, channels
+    )
+
+
+def hpk_pack_mask(mask):
+    """(B, H, W) bool -> (B, H/2, W, 2) per-phase occupancy."""
+    b, h, w = mask.shape
+    y = mask.reshape(b, h // 2, 2, w)
+    return jnp.transpose(y, (0, 1, 3, 2))
+
+
+def expand_kernel_hpk(w):
+    """(3, 3, ci, co) fine stride-1 kernel -> (3, 3, 2ci, 2co) H-packed."""
+    _, _, ci, co = w.shape
+    wp = jnp.zeros((3, 3, 2 * ci, 2 * co), w.dtype)
+    for p in (0, 1):  # output phase: fine row 2r + p
+        for dy in (-1, 0, 1):
+            t, q = divmod(p + dy, 2)  # input coarse tap t, phase q
+            for dx in (-1, 0, 1):
+                wp = jax.lax.dynamic_update_slice(
+                    wp, w[dy + 1:dy + 2, dx + 1:dx + 2],
+                    (t + 1, dx + 1, q * ci, p * co),
+                )
+    return wp
+
+
+def _tile2(v):
+    return jnp.tile(v, 2)
+
+
+def conv_bn_act_hpk(conv: "MaskedConv", bn: "MaskedBatchNorm", x, masks,
+                    train, act=True, chunked=False, rezero="mul"):
+    """H-packed equivalent of `conv_bn_act` for a stride-1 SubM conv+BN —
+    EVAL ONLY (training runs the fine layout; see section comment).
+
+    x: (B, H/2, W, 2C_in); masks is a dict with `negc2` (channel-expanded
+    additive re-zero mask, 0 at active / -inf at inactive sites, in the
+    packed layout) and optionally `maskc2` (multiplicative form). The key
+    names are the dict's structural marker — `Sparse2DBasicBlock` routes
+    here when it sees `negc2`, which stays remat/jit-safe (pytree
+    STRUCTURE is static where a boolean VALUE would trace)."""
+    assert not train, "H-pack is an eval-only layout"
+    hpad = (1, 1)
+    wpad = (0, 0) if chunked else (1, 1)
+    inv, shift = bn.fold_factors()
+    if conv.use_bias:
+        shift = conv.bias * inv + shift
+    if conv.quant_ready():
+        # quantize the FINE kernel per out-channel, expand the int8 taps
+        # (bit-exact — expansion only moves taps); the packed 2co output
+        # channels are phase-major tiles of the fine co, so the dequant
+        # vector is the _tile2 of the fine one
+        s_x = conv.in_scale()
+        s_w = conv.weight_scale()
+        yq = conv_core_int8(
+            quantize_act(x, s_x), expand_kernel_hpk(conv.kernel_int8(s_w)),
+            1, (hpad, wpad),
+        )
+        y = (
+            yq.astype(jnp.float32) * _tile2(s_x * s_w * inv)
+            + _tile2(shift)
+        ).astype(conv.dtype)
+    else:
+        conv.observe(x)
+        w = expand_kernel_hpk(conv.kernel)
+        y = _name_conv(jax.lax.conv_general_dilated(
+            x.astype(conv.dtype), (w * _tile2(inv)).astype(conv.dtype),
+            (1, 1), (hpad, wpad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ))
+        y = y + _tile2(shift).astype(y.dtype)
+    if rezero == "addneg":
+        n = masks["negc2"]
+        y = y + (center_w(n, y.shape[2]) if chunked else n)
+    else:
+        m = masks["maskc2"]
+        y = y * (center_w(m, y.shape[2]) if chunked else m)
+    return nn.relu(y) if act else y
+
+
+# ---------------------------------------------------------------------------
 # int8 deploy path (eval only, opt-in via backbone `quant=True`).
 #
 # The v5e MXU runs int8 x int8 -> int32 at 2x its bf16 rate, and int8
@@ -589,7 +703,10 @@ class Sparse2DBasicBlock(nn.Module):
         self.bn2 = MaskedBatchNorm(self.planes, **kw)
 
     def __call__(self, x, mask, train: bool = True, chunked: bool = False):
-        run = conv_bn_act_s2d if self.s2d else conv_bn_act
+        if isinstance(mask, dict) and "negc2" in mask:
+            run = conv_bn_act_hpk  # H-packed eval layout (structural key)
+        else:
+            run = conv_bn_act_s2d if self.s2d else conv_bn_act
         identity = x
         # eval re-zero: conv1's relu restores zeros from the additive mask;
         # conv2 (act=False) leaves -inf at inactive sites, which the final
@@ -684,6 +801,11 @@ class SparseDownStage(nn.Module):
     # 'conv_out' = keep conv results, replay only the elementwise tail)
     remat_policy: Optional[str] = None
     quant: bool = False
+    # eval-only H-pack of the residual blocks (see conv_bn_act_hpk): engages
+    # when the stage channels fit 2x into the 128 MXU lanes (i.e. the
+    # 64-channel conv2 stage). Exact numerics (int8 bit-exact; bf16 up to
+    # conv accumulation order). Training keeps the fine layout.
+    hpack: bool = False
 
     def setup(self):
         cin = (self.channels // 2 if self.in_channels is None
@@ -750,13 +872,31 @@ class SparseDownStage(nn.Module):
             y = nn.relu(y)
         else:
             y = conv_bn_act(self.down_conv, self.down_bn, x, new_mask, train)
+        # eval-only H-pack of the block chain (see conv_bn_act_hpk): only
+        # worthwhile below full MXU lane width, i.e. the 64-channel stage
+        use_hpk = (
+            self.hpack
+            and not train
+            and 2 * self.channels <= 128
+            and y.shape[1] % 2 == 0
+        )
+        if use_hpk:
+            y = hpk_pack(y)
+            pm2 = hpk_pack_mask(new_mask)  # (B, H/2, W, 2)
         use_chunk = chunk_gate(train, self.chunk_nc, self.chunk_train,
                                y.shape[2], self.chunk_min_w, y.shape[0])
         if use_chunk:
             halo = 2 * self.num_blocks
             yc = w_chunk(y, self.chunk_nc, halo)
-            mc = w_chunk(new_mask, self.chunk_nc, halo)
-            if train:
+            if use_hpk:
+                pc = w_chunk(pm2, self.chunk_nc, halo)
+                mc = {
+                    "negc2": jnp.repeat(
+                        jnp.where(pc, 0.0, _NEG), self.channels, axis=-1
+                    ).astype(self.dtype),
+                }
+            elif train:
+                mc = w_chunk(new_mask, self.chunk_nc, halo)
                 stat = jnp.pad(
                     w_chunk(new_mask, self.chunk_nc, 0),
                     ((0, 0), (0, 0), (halo, halo)),
@@ -765,6 +905,7 @@ class SparseDownStage(nn.Module):
             else:
                 # stage-materialized channel-expanded additive re-zero mask
                 # (see conv_bn_act rezero='addneg')
+                mc = w_chunk(new_mask, self.chunk_nc, halo)
                 mc = {
                     "m": mc,
                     "negc": jnp.repeat(
@@ -776,8 +917,17 @@ class SparseDownStage(nn.Module):
                 yc = blk(yc, mc, train, True)
             y = w_unchunk(yc, self.chunk_nc)
         else:
+            mb = new_mask
+            if use_hpk:
+                mb = {
+                    "negc2": jnp.repeat(
+                        jnp.where(pm2, 0.0, _NEG), self.channels, axis=-1
+                    ).astype(self.dtype),
+                }
             for blk in self.blocks:
-                y = blk(y, new_mask, train, False)
+                y = blk(y, mb, train, False)
+        if use_hpk:
+            y = hpk_unpack(y, self.channels)
         return y, new_mask
 
     def compact(self, rows_fine, nbr_down, nbr_coarse, valid_coarse,

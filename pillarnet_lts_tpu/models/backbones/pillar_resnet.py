@@ -65,6 +65,12 @@ class _PillarResNetBase(nn.Module):
     chunk_nc: int = 8
     chunk_min_w: int = 512
     chunk_train: bool = True
+    # eval-only H-pack of the 64-channel stage's residual blocks
+    # ((B, H, W, 64) -> (B, H/2, W, 128), see base.py conv_bn_act_hpk):
+    # full MXU lane utilization + halved physical activation bytes for
+    # exact numerics. Engages only where 2*channels <= 128, so passing it
+    # to every down stage is safe (conv3/conv4 ignore it).
+    hpack: bool = False
     # compact (gather-based) execution of conv1 + conv2 — engaged when the
     # reader hands a CompactPillars table instead of a dense grid (reader
     # knob: `compact_kmax`). Budget for the conv2 active-site table;
@@ -190,19 +196,19 @@ class _PillarResNetBase(nn.Module):
             s2d_in=use_s2d, chunk_nc=self.chunk_nc,
             chunk_min_w=self.chunk_min_w, chunk_train=self.chunk_train,
             remat=self.remat, remat_policy=self.remat_policy,
-            quant=self.quant, name="conv2",
+            quant=self.quant, hpack=self.hpack, name="conv2",
         )(x, m1, train)
         x3, m3 = Down(
             c * 4, self.stage_blocks[1], in_channels=c * 2, dtype=self.dtype,
             chunk_nc=self.chunk_nc, chunk_min_w=self.chunk_min_w,
             chunk_train=self.chunk_train, remat=self.remat,
-            remat_policy=self.remat_policy, quant=self.quant, name="conv3",
+            remat_policy=self.remat_policy, quant=self.quant, hpack=self.hpack, name="conv3",
         )(x2, m2, train)
         x4, m4 = Down(
             c * 8, self.stage_blocks[2], in_channels=c * 4, dtype=self.dtype,
             chunk_nc=self.chunk_nc, chunk_min_w=self.chunk_min_w,
             chunk_train=self.chunk_train, remat=self.remat,
-            remat_policy=self.remat_policy, quant=self.quant, name="conv4",
+            remat_policy=self.remat_policy, quant=self.quant, hpack=self.hpack, name="conv4",
         )(x3, m3, train)
 
         out = {

@@ -610,20 +610,26 @@ def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows,
             -(-(N + _MXU_CHUNK) // (8 * _MXU_CHUNK)) * 8 * _MXU_CHUNK - N
         )
         if use_xla_dedup:
-            row = jnp.concatenate(
-                [
-                    packed,
-                    jnp.zeros((N, c_pad - packed.shape[1]), pdt),
-                ],
-                axis=-1,
-            )
+            # one zero row is appended to the gather SOURCE and the pad
+            # rows ride the gather as out-of-range-pointing indices: the
+            # padded sorted payload materializes in one pass (gather is
+            # not fusible with a following concat, so padding after the
+            # gather costs a full extra read+write of the array; the
+            # source-side concats fuse into the payload-build fusion)
+            row = packed
+            if packed.shape[1] < c_pad:
+                row = jnp.concatenate(
+                    [row, jnp.zeros((N, c_pad - packed.shape[1]), pdt)],
+                    axis=-1,
+                )
+            row = jnp.concatenate([row, jnp.zeros((1, c_pad), pdt)])
             sorted_key, order = jax.lax.sort_key_val(
                 key, jnp.arange(N, dtype=jnp.int32)
             )
-            aug = jnp.take_along_axis(row, order[:, None], axis=0)
-            aug = jnp.concatenate(
-                [aug, jnp.zeros((pad_n, c_pad), pdt)]
+            order_p = jnp.concatenate(
+                [order, jnp.full((pad_n,), N, jnp.int32)]
             )
+            aug = jnp.take_along_axis(row, order_p[:, None], axis=0)
             sorted_ids = jnp.concatenate(
                 [sorted_key, jnp.full((pad_n,), hw, jnp.int32)]
             )
