@@ -269,6 +269,28 @@ def _tile2(v):
     return jnp.tile(v, 2)
 
 
+def expand_kernel_s2d_down_hpk(w):
+    """(3, 3, ci, co) fine stride-2 kernel -> (3, 2, 4ci, 2co) coarse kernel
+    that consumes the s2d stage-1 layout and EMITS the H-packed layout
+    directly (use with strides (2, 1), padding ((1, 0), (1, 0))).
+
+    Composition of `expand_kernel_s2d_down` (s2d input -> fine out row y
+    needs coarse rows y-1+h, h in {0, 1}) with the H-pack of the output
+    (packed row u phase p = fine row 2u+p, read at coarse tap t = p + h).
+    vs the fine-emitting form: 1.5x the FLOPs at 2x the output lanes
+    (64 -> 128) = 0.75x MXU cycles, and the fine 128-lane-padded
+    intermediate plus its pack relayout disappear."""
+    dw = expand_kernel_s2d_down(w)  # (2, 2, 4ci, co)
+    _, _, ci4, co = dw.shape
+    wp = jnp.zeros((3, 2, ci4, 2 * co), dw.dtype)
+    for p in (0, 1):
+        for h in (0, 1):
+            wp = jax.lax.dynamic_update_slice(
+                wp, dw[h:h + 1], (p + h, 0, 0, p * co)
+            )
+    return wp
+
+
 def conv_bn_act_hpk(conv: "MaskedConv", bn: "MaskedBatchNorm", x, masks,
                     train, act=True, chunked=False, rezero="mul"):
     """H-packed equivalent of `conv_bn_act` for a stride-1 SubM conv+BN —
@@ -352,8 +374,9 @@ def quantize_act(x, s_x):
 
 def conv_core_int8(xq, wq, stride, padding):
     """int8 x int8 -> int32 NHWC conv (MXU int8 mode)."""
+    strides = stride if isinstance(stride, tuple) else (stride, stride)
     return jax.lax.conv_general_dilated(
-        xq, wq, (stride, stride), padding,
+        xq, wq, strides, padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
@@ -835,7 +858,47 @@ class SparseDownStage(nn.Module):
         """mask is always the FINE-space occupancy of the input stage, even
         when `s2d_in` (the s2d layout only changes how x is stored)."""
         new_mask = dilate_mask(mask, self.stride)
-        if self.s2d_in:
+        # eval-only H-pack of the block chain (see conv_bn_act_hpk): only
+        # worthwhile below full MXU lane width, i.e. the 64-channel stage
+        want_hpk = (
+            self.hpack and not train and 2 * self.channels <= 128
+        )
+        packed = False  # y is already in H-packed layout
+        if self.s2d_in and want_hpk and x.shape[1] % 2 == 0:
+            # the down conv EMITS the packed layout directly: full output
+            # lanes (vs 64 = half) at 1.5x taps = 0.75x MXU cycles, and no
+            # fine 128-lane-padded intermediate or pack relayout
+            assert self.stride == 2
+            inv, shift = self.down_bn.fold_factors()
+            if self.down_conv.quant_ready():
+                s_x = self.down_conv.in_scale()
+                s_w = self.down_conv.weight_scale()
+                yq = conv_core_int8(
+                    quantize_act(x, s_x),
+                    expand_kernel_s2d_down_hpk(
+                        self.down_conv.kernel_int8(s_w)
+                    ),
+                    (2, 1), ((1, 0), (1, 0)),
+                )
+                y = (
+                    yq.astype(jnp.float32) * _tile2(s_x * s_w * inv)
+                    + _tile2(shift)
+                ).astype(self.dtype)
+            else:
+                self.down_conv.observe(x)
+                w = expand_kernel_s2d_down_hpk(self.down_conv.kernel)
+                y = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype),
+                    (w * _tile2(inv)).astype(self.dtype),
+                    (2, 1), ((1, 0), (1, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                y = y + _tile2(shift).astype(y.dtype)
+            pm2 = hpk_pack_mask(new_mask)
+            y = y * jnp.repeat(pm2, self.channels, axis=-1).astype(y.dtype)
+            y = nn.relu(y)
+            packed = True
+        elif self.s2d_in:
             assert self.stride == 2
             w = expand_kernel_s2d_down(self.down_conv.kernel)
             if train:
@@ -872,15 +935,8 @@ class SparseDownStage(nn.Module):
             y = nn.relu(y)
         else:
             y = conv_bn_act(self.down_conv, self.down_bn, x, new_mask, train)
-        # eval-only H-pack of the block chain (see conv_bn_act_hpk): only
-        # worthwhile below full MXU lane width, i.e. the 64-channel stage
-        use_hpk = (
-            self.hpack
-            and not train
-            and 2 * self.channels <= 128
-            and y.shape[1] % 2 == 0
-        )
-        if use_hpk:
+        use_hpk = packed or (want_hpk and y.shape[1] % 2 == 0)
+        if use_hpk and not packed:
             y = hpk_pack(y)
             pm2 = hpk_pack_mask(new_mask)  # (B, H/2, W, 2)
         use_chunk = chunk_gate(train, self.chunk_nc, self.chunk_train,

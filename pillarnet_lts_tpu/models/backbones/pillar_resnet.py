@@ -69,8 +69,11 @@ class _PillarResNetBase(nn.Module):
     # ((B, H, W, 64) -> (B, H/2, W, 128), see base.py conv_bn_act_hpk):
     # full MXU lane utilization + halved physical activation bytes for
     # exact numerics. Engages only where 2*channels <= 128, so passing it
-    # to every down stage is safe (conv3/conv4 ignore it).
-    hpack: bool = False
+    # to every down stage is safe (conv3/conv4 ignore it). Default ON from
+    # the in-model A/B (tools/bench_r4_hpack_model_probe.py, 3 interleaved
+    # rounds): full-graph on-chip p50 bf16 ~56-60 -> ~52-55 ms, int8
+    # ~48-51 -> ~45-47 ms.
+    hpack: bool = True
     # compact (gather-based) execution of conv1 + conv2 — engaged when the
     # reader hands a CompactPillars table instead of a dense grid (reader
     # knob: `compact_kmax`). Budget for the conv2 active-site table;

@@ -51,6 +51,32 @@ def test_expand_kernel_hpk_matches_fine_conv():
     assert int(nz.sum()) == 6
 
 
+def test_expand_kernel_s2d_down_hpk_matches_fine_strided_conv():
+    """The packed-emitting down kernel consumes the s2d stage-1 layout and
+    produces hpk_pack(fine stride-2 conv output) in one conv."""
+    from pillarnet_lts_tpu.models.backbones.base import (
+        expand_kernel_s2d_down_hpk,
+        s2d_pack,
+    )
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 16, 20, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 5).astype(np.float32))
+
+    fine = jax.lax.conv_general_dilated(
+        x, w, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (2, 8, 10, 5)
+    packed = jax.lax.conv_general_dilated(
+        s2d_pack(x), expand_kernel_s2d_down_hpk(w), (2, 1),
+        ((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (2, 4, 10, 10)
+    np.testing.assert_allclose(
+        np.asarray(hpk_unpack(packed, 5)), np.asarray(fine), atol=1e-5
+    )
+
+
 def test_hpk_pack_roundtrip_and_mask():
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.randn(2, 8, 6, 4).astype(np.float32))
