@@ -367,10 +367,9 @@ def main():
         }))
         return
 
-    import jax
+    from pillarnet_lts_tpu.utils.compile_cache import enable_persistent_cache
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_persistent_cache()
 
     root = os.path.dirname(os.path.abspath(__file__))
     cfg_path = os.path.join(

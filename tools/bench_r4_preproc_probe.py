@@ -19,9 +19,20 @@ indices. Stages (each mirrors the shipped `use_xla_dedup` branch of
                kernel launch consumes)
 
 Deltas give: gather = sort_gather - sort_only, table = sort_table -
-sort_only, dedup = full_prep - (sort_gather + table). Two interleaved
-passes guard against relay-floor drift. Run to completion; do not kill
+sort_only, dedup = full_prep - (sort_gather + table). Three interleaved
+rounds guard against relay-floor drift. Run to completion; do not kill
 mid-run.
+
+Measurement caveats:
+- `consume()` forces materialization via a full fp32 upcast + reduction,
+  so the aug-consuming variants (sort_gather, full_prep) pay an extra
+  payload-sized (~67 MB bf16) read/reduce the aug-free variants do not —
+  the reported gather delta and absolute full_prep are slightly inflated
+  (it cancels only in the dedup delta).
+- per-stage deltas subtract a separately-measured per-round dispatch
+  floor and can come out negative under run-to-run noise when a stage
+  sits at the floor; the [split] line clamps at 0 and marks such stages
+  with an explicit "~floor" tag.
 """
 
 import os
@@ -42,18 +53,22 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import _synth_points_realistic
+    from pillarnet_lts_tpu.ops import scatter as scatter_mod
     from pillarnet_lts_tpu.ops.pallas import voxelize_kernel as vk
     from pillarnet_lts_tpu.ops.voxelize import PillarSpec, voxelize_points
 
+    # layout constants come from the shipped modules so the probe cannot
+    # silently measure a stale layout if the defaults move
     CH = vk._MXU_CHUNK
+    tile_rows = scatter_mod._MXU_TILE_ROWS
     pc_range = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
     # PROBE_N: smaller sizes for CPU sanity runs of the probe itself
     N, C, H, W = int(os.environ.get("PROBE_N", 262144)), 32, 1440, 1440
-    tile_rows = 2
     hw = H * W
     tile_pillars = tile_rows * W
     num_tiles = -(-H // tile_rows)
-    c_pad = 128
+    # same pad rule as _scatter_mxu_impl (pack=1): [feats | occ | 0...]
+    c_pad = max(128, -(-(C + 3) // 128) * 128)
     pdt = jnp.bfloat16
 
     pts, mask = _synth_points_realistic(1, N, pc_range)
@@ -186,11 +201,25 @@ def main():
         print(" | ".join(line) + " ms on-chip", flush=True)
 
     med = {n: float(np.median(v)) for n, v in res.items()}
-    print(f"[split] sort={med['sort_only']:.2f} "
-          f"gather={med['sort_gather'] - med['sort_only']:.2f} "
-          f"table={med['sort_table'] - med['sort_only']:.2f} "
-          f"dedup+rest={med['full_prep'] - med['sort_gather'] - (med['sort_table'] - med['sort_only']):.2f} "
-          f"full_prep={med['full_prep']:.2f} ms", flush=True)
+    # per-variant spread across rounds ~ floor variance; deltas within it
+    # are indistinguishable from the floor — clamp at 0 and tag them
+    spread = float(np.median(
+        [np.ptp(v) if len(v) > 1 else 0.0 for v in res.values()]
+    ))
+
+    def fmt(delta):
+        if delta <= max(spread, 0.15):
+            return f"{max(delta, 0.0):.2f}(~floor)"
+        return f"{delta:.2f}"
+
+    gather_d = med["sort_gather"] - med["sort_only"]
+    table_d = med["sort_table"] - med["sort_only"]
+    dedup_d = med["full_prep"] - med["sort_gather"] - table_d
+    print(f"[split] sort={fmt(med['sort_only'])} "
+          f"gather={fmt(gather_d)} table={fmt(table_d)} "
+          f"dedup+rest={fmt(dedup_d)} "
+          f"full_prep={med['full_prep']:.2f} ms "
+          f"(round spread ~{spread:.2f})", flush=True)
 
 
 if __name__ == "__main__":

@@ -52,6 +52,10 @@ def main():
     if want:
         jax.config.update("jax_platforms", want)
 
+    from pillarnet_lts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     logging.basicConfig(level=logging.INFO)
     logger = logging.getLogger("test")
     cfg = Config.fromfile(args.config)

@@ -56,6 +56,10 @@ def main():
     if want:
         jax.config.update("jax_platforms", want)
 
+    from pillarnet_lts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import jax.numpy as jnp
     import orbax.checkpoint as ocp
     from jax import export as jexport

@@ -43,6 +43,10 @@ def main():
     if want:
         jax.config.update("jax_platforms", want)
 
+    from pillarnet_lts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if args.multihost:
         jax.distributed.initialize()
     cfg = Config.fromfile(args.config)
