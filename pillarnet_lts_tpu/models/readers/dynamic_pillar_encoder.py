@@ -112,6 +112,15 @@ class DynamicPFE(nn.Module):
     compact_kmax: int = 0
     # int8 deploy mode for the shared MLP (see _PFNDense)
     quant: bool = False
+    # int8 scatter payload (quant deploy only): quantize the post-ReLU MLP
+    # output with a calibrated per-tensor scale BEFORE the scatter, stream
+    # the sorted payload / chunk DMAs as int8 (half the bytes — the last
+    # named scatter lever, docs/ROADMAP.md "Scatter roofline, revised"),
+    # and dequantize in the scatter's occupancy-select epilogue (fused).
+    # Exact w.r.t. the int8 model's semantics: per-tensor monotone
+    # quantization commutes with max, and the quantized conv1 re-quantizes
+    # the grid with the same absmax-derived scale (round(q*s/s) == q).
+    quant_scatter: bool = True
 
     @property
     def spec(self) -> PillarSpec:
@@ -171,6 +180,35 @@ class DynamicPFE(nn.Module):
                     width=spec.width,
                 ),
                 None,
+            )
+
+        if self.quant and self.quant_scatter and not train:
+            if self.has_variable("quant", "scatter_absmax"):
+                # deploy: int8 payload through the scatter (see field doc)
+                s = jnp.maximum(
+                    self.get_variable("quant", "scatter_absmax"), 1e-6
+                ) / 127.0
+                xq = jnp.clip(
+                    jnp.round(x.astype(jnp.float32) * (1.0 / s)),
+                    0.0, 127.0,  # post-ReLU: codes are nonneg
+                ).astype(jnp.int8)
+                grid_q, occ = pillar_scatter_max(
+                    xq, flat_ids, valid, spec.height, spec.width,
+                    nonneg=True,
+                )
+                grid = grid_q.astype(self.dtype) * jnp.asarray(
+                    s, self.dtype
+                )
+                return grid, occ
+            # calibration: the scatter input's masked absmax IS the grid
+            # absmax conv1 observes (the scatter is a masked max of these
+            # values), so both scales calibrate to the same number
+            ax = jnp.abs(x) * valid[..., None].astype(x.dtype)
+            self.sow(
+                "quant", "scatter_absmax",
+                jnp.max(ax).astype(jnp.float32),
+                reduce_fn=jnp.maximum,
+                init_fn=lambda: jnp.zeros((), jnp.float32),
             )
 
         # post-ReLU features are >= 0: engage the scatter's ungated fast path

@@ -551,6 +551,15 @@ def _mxu_kernel_cg_pre(tbl_ref, ids_ref, feats_ref, grid_ref, *,
 def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows,
                       nonneg=False, pack=1):
     out_dtype = point_feats.dtype
+    # int8 payload mode (quant deploy — the round-4 ledger's last named
+    # scatter lever): the caller hands symmetric-quantized nonneg codes in
+    # [0, 127] and gets the grid of per-pillar max CODES back as int8.
+    # Per-tensor monotone quantization commutes with max, so this is exact
+    # w.r.t. the int8 model's own conv1-input semantics, and it halves the
+    # sorted-payload gather + dedup-scan + chunk-DMA bytes. The kernel
+    # accumulates in bf16 (codes <= 127 are exact in bf16, so the one-hot
+    # matmul and max-combine are exact); only the streamed payload is int8.
+    is_int8 = out_dtype == jnp.int8
     B, N, C = point_feats.shape
     hw = height * width
     tile_pillars = tile_rows * width
@@ -571,19 +580,32 @@ def _scatter_mxu_impl(point_feats, flat_ids, valid, height, width, tile_rows,
     key_col = id_col + 1
     # bf16 inputs round-trip exactly through the fp32 working layout, so a
     # bf16 grid (and bf16 one-hot matmul) is exact; fp32 inputs keep fp32
-    acc_dtype = out_dtype if out_dtype == jnp.bfloat16 else jnp.float32
+    acc_dtype = (jnp.bfloat16
+                 if (out_dtype == jnp.bfloat16 or is_int8)
+                 else jnp.float32)
 
     use_xla_dedup = _MXU_SCHED == "chunk" and _MXU_DEDUP == "xla"
+    if is_int8:
+        if not (nonneg and pack == 1 and use_xla_dedup):
+            raise ValueError(
+                "int8 scatter payload requires nonneg=True, pack=1 and the "
+                "shipped chunk-schedule/xla-dedup configuration (the legacy "
+                "in-kernel-scan layout carries fp32 id lanes)"
+            )
 
     def one(feats, ids, ok):
         key = jnp.where(ok, ids, hw).astype(jnp.int32)
         # payload dtype: with the dedup scan on the XLA side nothing in the
         # kernel needs id lanes or fp32 exactness, so bf16 inputs stream
-        # bf16 (halved gather + chunk-DMA bytes); the legacy in-kernel-scan
-        # path keeps the fp32 [.. | id | key] layout it depends on
-        pdt = (jnp.bfloat16
-               if (use_xla_dedup and out_dtype == jnp.bfloat16)
-               else jnp.float32)
+        # bf16 (halved gather + chunk-DMA bytes) and int8 quant codes
+        # stream int8 (halved again); the legacy in-kernel-scan path keeps
+        # the fp32 [.. | id | key] layout it depends on
+        if is_int8:
+            pdt = jnp.int8
+        elif use_xla_dedup and out_dtype == jnp.bfloat16:
+            pdt = jnp.bfloat16
+        else:
+            pdt = jnp.float32
         # Building the full row FIRST and gathering ONCE matters: XLA's TPU
         # gather cost is per-index, so three separate gathers by `order`
         # (ids, ok, feats) cost ~3x one wide row gather.

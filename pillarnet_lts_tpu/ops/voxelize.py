@@ -83,6 +83,14 @@ def voxelize_points(points, points_mask, spec: PillarSpec):
     return feats, flat, valid
 
 
+def _neg_fill(dtype):
+    """Most-negative representable value (int8 payloads ride the same
+    scatter entry points in the quant deploy mode)."""
+    if jnp.issubdtype(dtype, jnp.integer):
+        return jnp.iinfo(dtype).min
+    return jnp.finfo(dtype).min
+
+
 def _segmented_suffix_max(feats, ids):
     """Reverse inclusive segmented max over sorted segment ids.
 
@@ -91,7 +99,7 @@ def _segmented_suffix_max(feats, ids):
     work, no scatter. ids must be sorted ascending.
     """
     n, c = feats.shape
-    neg = jnp.finfo(feats.dtype).min
+    neg = _neg_fill(feats.dtype)
     d = 1
     while d < n:
         same = jnp.concatenate(
@@ -125,7 +133,7 @@ def scatter_max_to_grid_sorted(point_feats, flat_ids, valid, height, width):
 
     def one(feats, ids, ok):
         n, c = feats.shape
-        neg = jnp.finfo(feats.dtype).min
+        neg = _neg_fill(feats.dtype)
         # Invalid points must not mark their pillar occupied: force their ids
         # to the H*W sentinel so they sort past every query (same contract as
         # scatter_max_to_grid, which derives occupancy from `ok` directly).
@@ -174,7 +182,7 @@ def scatter_max_to_grid(point_feats, flat_ids, valid, height, width):
     num_seg = height * width + 1
 
     def one(feats, ids, ok):
-        neg = jnp.finfo(feats.dtype).min
+        neg = _neg_fill(feats.dtype)
         feats = jnp.where(ok[:, None], feats, neg)
         grid = jax.ops.segment_max(
             feats, ids, num_segments=num_seg, indices_are_sorted=False
@@ -182,7 +190,9 @@ def scatter_max_to_grid(point_feats, flat_ids, valid, height, width):
         occ = jax.ops.segment_max(
             ok.astype(jnp.int32), ids, num_segments=num_seg
         ) > 0
-        grid = jnp.where(occ[:, None], grid, 0.0)[: height * width]
+        grid = jnp.where(
+            occ[:, None], grid, jnp.zeros((), feats.dtype)
+        )[: height * width]
         return (
             grid.reshape(height, width, feats.shape[-1]),
             occ[: height * width].reshape(height, width),

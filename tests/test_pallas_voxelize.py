@@ -317,3 +317,71 @@ def test_mxu_chunk_dedup_modes_match_xla(dedup, nonneg):
             np.asarray(got_grid.astype(jnp.float32)),
             np.asarray(want_grid.astype(jnp.float32)),
         )
+
+
+def test_mxu_int8_payload_matches_xla():
+    """int8 quant-deploy payload: the MXU kernel streams nonneg int8 codes
+    and must reproduce the XLA segment-max of the same codes exactly (the
+    bf16 accumulator is exact for values <= 127). Covers empty tiles,
+    multi-chunk tiles and cross-chunk runs."""
+    from pillarnet_lts_tpu.ops.pallas.voxelize_kernel import (
+        pillar_scatter_max_mxu,
+    )
+
+    rng = np.random.RandomState(11)
+    B, N, C = 2, 700, 8
+    H, W = 16, 16
+    feats = rng.randint(0, 128, (B, N, C)).astype(np.int8)
+    ids = rng.randint(0, (H // 2) * W, (B, N)).astype(np.int32)
+    valid = rng.rand(B, N) > 0.3
+    ids_s = np.where(valid, ids, H * W).astype(np.int32)
+
+    want_grid, want_occ = scatter_max_to_grid(
+        jnp.array(feats), jnp.array(ids_s), jnp.array(valid), H, W
+    )
+    assert want_grid.dtype == jnp.int8
+
+    with pltpu.force_tpu_interpret_mode():
+        got_grid, got_occ = pillar_scatter_max_mxu(
+            jnp.array(feats), jnp.array(ids_s), jnp.array(valid), H, W,
+            4, True,
+        )
+    assert got_grid.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(got_occ), np.asarray(want_occ))
+    np.testing.assert_array_equal(np.asarray(got_grid), np.asarray(want_grid))
+
+
+def test_mxu_int8_requires_shipped_layout():
+    from pillarnet_lts_tpu.ops.pallas import voxelize_kernel as vk
+
+    feats = jnp.zeros((1, 64, 8), jnp.int8)
+    ids = jnp.zeros((1, 64), jnp.int32)
+    ok = jnp.ones((1, 64), bool)
+    with pytest.raises(ValueError):
+        vk.pillar_scatter_max_mxu(feats, ids, ok, 16, 16, 4, False)  # not nonneg
+
+
+def test_int8_quant_commutes_with_max():
+    """The exactness claim behind the int8 scatter payload: per-tensor
+    monotone quantization commutes with segment max, so quantize->scatter
+    equals scatter->quantize."""
+    rng = np.random.RandomState(3)
+    B, N, C = 1, 500, 8
+    H = W = 16
+    x = np.abs(rng.randn(B, N, C)).astype(np.float32)
+    ids = rng.randint(0, H * W, (B, N)).astype(np.int32)
+    valid = rng.rand(B, N) > 0.3
+    ids_s = np.where(valid, ids, H * W).astype(np.int32)
+    s = float(np.max(np.abs(x * valid[..., None]))) / 127.0
+
+    def q(v):
+        return np.clip(np.round(v / s), 0, 127).astype(np.int8)
+
+    g_fp, occ = scatter_max_to_grid(
+        jnp.array(x), jnp.array(ids_s), jnp.array(valid), H, W
+    )
+    g_q, occ_q = scatter_max_to_grid(
+        jnp.array(q(x)), jnp.array(ids_s), jnp.array(valid), H, W
+    )
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_q))
+    np.testing.assert_array_equal(q(np.asarray(g_fp)), np.asarray(g_q))
