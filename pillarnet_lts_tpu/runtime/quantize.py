@@ -19,22 +19,28 @@ import jax
 import jax.numpy as jnp
 
 
-def enable_backbone_quant(model_cfg):
+def enable_backbone_quant(model_cfg, head=False):
     """Flip the int8 deploy flags in a model config dict — backbone, and
     (round 4) reader MLP and neck, which measured accuracy-neutral on the
     non-overfit demo model (mAP 0.283 fp vs 0.283 backbone / 0.283 reader
-    / 0.280 neck). The CENTER HEAD is deliberately left bf16: its int8
-    mode exists (`bbox_head.quant=True`) but the SepHead fused wide conv
-    measurably collapses demo mAP (0.283 -> 0.086 per-tensor scales,
-    0.192 even with per-input-channel scales — the 8-bit hidden features
-    are too coarse for the metric regression branches), and the head is
-    only ~2 ms of the budget. Handles both single-stage
-    ({'backbone': ...}) and two-stage ({'first_stage_cfg': ...}) layouts."""
+    / 0.280 neck). The CENTER HEAD stays bf16 by default: its int8 mode
+    exists (`head=True` flips `bbox_head.quant`) but was measured and
+    rejected twice. Round-5 full-scope study at 32-frame non-overfit
+    scale (`tools/quant_scope_study.py`, 2026-08-19), per-INPUT-channel
+    scales on share conv + fused wide SepHead conv, both calibration
+    reductions: fp mAP 0.310; default scope -0.011 (mean) / -0.034 (max);
+    +head -0.195 (mean) / -0.238 (max); head alone -0.186 / -0.227 — the
+    8-bit shared feature is too coarse for the metric regression
+    branches, and the head is only ~2 ms of the budget.
+    Handles both single-stage ({'backbone': ...}) and two-stage
+    ({'first_stage_cfg': ...}) layouts."""
     stage1 = (model_cfg if "backbone" in model_cfg
               else model_cfg["first_stage_cfg"])
     for comp in ("backbone", "reader", "neck"):
         if comp in stage1 and isinstance(stage1[comp], dict):
             stage1[comp]["quant"] = True
+    if head and isinstance(stage1.get("bbox_head"), dict):
+        stage1["bbox_head"]["quant"] = True
     return model_cfg
 
 

@@ -19,6 +19,25 @@ stack); a frozen, version-pinned compute graph is the serving contract for
 production fleets.  The export targets the requested platform's lowering;
 cross-platform export (e.g. export on a CPU host, serve on TPU) is
 supported by jax.export as long as the ops lower on the target.
+
+Multi-chip serving recipe (the deployment behind BASELINE.md's 2-chip
+resolution of the >= 40 FPS north star). The serving graph has NO
+cross-chip collectives — every frame is independent — so the scaling
+unit is the chip and there are two equivalent deployments:
+
+  1. replicate-per-chip (recommended, fault-isolated): export ONE
+     artifact at the measured amortization optimum (`--batch 8 --int8`
+     for the flagship; BENCH r4/r5), load it once per chip
+     (`jax.device_put` the deserialized call's inputs per device, or one
+     process per chip), and round-robin frames. Fleet throughput is
+     per-chip FPS x n_chips by construction.
+  2. single-process dp-sharded: build the mesh (`parallel/mesh.py`),
+     shard the batch axis over 'dp', replicate params, and jit the same
+     infer fn — validated every round by `__graft_entry__.
+     dryrun_multichip` ("serving_shard=ok", 2N frames over N devices).
+
+Per-chip batch stays 8 either way (bs=12 measured SLOWER per frame —
+docs/ROADMAP.md round 4); scale chips, not batch.
 """
 
 import argparse
