@@ -196,9 +196,13 @@ class DynamicPFE(nn.Module):
                     xq, flat_ids, valid, spec.height, spec.width,
                     nonneg=True,
                 )
-                grid = grid_q.astype(self.dtype) * jnp.asarray(
-                    s, self.dtype
-                )
+                # dequantize in f32 and round ONCE into the compute dtype:
+                # q * bf16(s) would double-round (bf16(s) then the product),
+                # pushing q*delta to ~0.5 ULP at q ~ 127 — enough for the
+                # downstream conv1 re-quantization to flip a code
+                grid = (
+                    grid_q.astype(jnp.float32) * s
+                ).astype(self.dtype)
                 return grid, occ
             # calibration: the scatter input's masked absmax IS the grid
             # absmax conv1 observes (the scatter is a masked max of these

@@ -588,3 +588,51 @@ def test_int8_scatter_payload_exactness():
         np.asarray(grid_q, np.float32), want.astype(np.float32),
         rtol=0, atol=1e-6,
     )
+
+
+def test_int8_scatter_codes_survive_bf16_dequant():
+    """At the flagship's bfloat16 compute dtype, the int8-scatter round trip
+    must reproduce the EXACT conv1 input codes of the bf16-scatter path:
+    dequantize must round once (f32 multiply, then one cast) — a bf16(s)
+    double-rounding pushes q*delta to ~0.5 ULP at q ~ 127 and flips codes
+    (observed in-model on TPU as a 0.27 score delta before the fix)."""
+    from pillarnet_lts_tpu.models.readers.dynamic_pillar_encoder import (
+        DynamicPFE,
+    )
+
+    rng = np.random.RandomState(9)
+    kw = dict(
+        in_channels=5, num_filters=(32,), pillar_size=2.0,
+        pc_range=(-16, -16, -3, 16, 16, 3), quant=True,
+        dtype=jnp.bfloat16,
+    )
+    reader_q = DynamicPFE(**kw, quant_scatter=True)
+    reader_f = DynamicPFE(**kw, quant_scatter=False)
+
+    pts = jnp.asarray(rng.uniform(-15, 15, (2, 768, 5)).astype(np.float32))
+    msk = jnp.asarray(rng.rand(2, 768) > 0.2)
+
+    v = reader_q.init(jax.random.PRNGKey(0), pts, msk, train=False)
+    base = {k: x for k, x in v.items() if k != "quant"}
+    _, aux = reader_q.apply(base, pts, msk, train=False, mutable=["quant"])
+    vq = {**base, "quant": aux["quant"]}
+
+    grid_q, _ = reader_q.apply(vq, pts, msk, train=False)
+    grid_f, _ = reader_f.apply(vq, pts, msk, train=False)
+    assert grid_q.dtype == jnp.bfloat16
+
+    # conv1's quantization of both grids (same absmax-derived scale: the
+    # grid absmax IS the masked MLP-output absmax the reader calibrated).
+    # Mirror quantize_act EXACTLY (f32 multiply by the f32 reciprocal —
+    # dividing by s instead flips boundary codes and is not what runs).
+    amax = np.float32(np.asarray(jax.tree.leaves(
+        aux["quant"]["scatter_absmax"])[0]))
+    s = np.maximum(amax, np.float32(1e-6)) / np.float32(127.0)
+    inv_s = np.float32(1.0) / s
+
+    def codes(g):
+        return np.clip(
+            np.round(np.asarray(g, np.float32) * inv_s), -127, 127
+        ).astype(np.int8)
+
+    np.testing.assert_array_equal(codes(grid_q), codes(grid_f))
