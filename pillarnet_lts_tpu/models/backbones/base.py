@@ -442,14 +442,19 @@ def chunk_gate(train, chunk_nc, chunk_train, w, min_w, batch=1):
     TRAINING at batch >= 4 skips it: the backward stores batch x chunk_nc
     tiled activations and a bs=8 training graph OOMs 16 GB HBM at
     chunk_nc=8, while batched training convs gain little from the layout.
-    EVAL keeps tiling at any batch — without it a bs=4 serving graph pays
-    the per-conv relayout round trip again (measured: bs=4 inference ran
-    at 10.4 FPS untiled, below the 11.4 serial bs=1 number; eval stores no
-    activations, so the working-set multiplication does not bite)."""
+    EVAL tiles below batch 8 and skips at batch >= 8 — both directions
+    measured on the int8 flagship (round 5, tools/archive/
+    bench_r5_{bs8,tile}_probe.py, same-session on-chip ms/frame):
+    bs=1 tiled 41.8 vs untiled 61.8; bs=4 tiled 45.7 vs untiled 72.6;
+    bs=8 tiled 38.8 vs untiled 34.9. Small batches still pay the
+    per-conv space-to-batch relayout round trip the tiling exists to
+    avoid, while at batch 8 the convs are already batched and the tiles'
+    halo recompute + chunk/unchunk relayouts are pure overhead."""
     return (
         (not train or chunk_train)
         and chunk_nc > 0
         and (not train or batch <= 2)
+        and (train or batch < 8)
         and w >= min_w
         and w % chunk_nc == 0
     )

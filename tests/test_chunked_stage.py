@@ -133,3 +133,20 @@ def test_chunked_gate_skips_large_batch():
     ref = _run(PillarResNet18, grid, occ, chunk_nc=0)
     for k in out:
         np.testing.assert_allclose(out[k], ref[k], atol=2e-4, rtol=1e-3)
+
+
+def test_chunk_gate_eval_batch_threshold():
+    """Round-5 measured gate: eval tiles below batch 8, skips at >= 8
+    (bs=1 tiled 41.8 vs untiled 61.8 ms; bs=8 tiled 38.8 vs untiled 34.9 —
+    tools/archive/bench_r5_tile_probe.py / bench_r5_bs8_probe.py);
+    training keeps its own bs <= 2 gate (HBM-bound, round 3)."""
+    from pillarnet_lts_tpu.models.backbones.base import chunk_gate
+
+    kw = dict(chunk_nc=8, chunk_train=True, w=720, min_w=512)
+    assert chunk_gate(False, batch=1, **kw)
+    assert chunk_gate(False, batch=4, **kw)
+    assert not chunk_gate(False, batch=8, **kw)
+    assert not chunk_gate(False, batch=12, **kw)
+    assert chunk_gate(True, batch=1, **kw)
+    assert chunk_gate(True, batch=2, **kw)
+    assert not chunk_gate(True, batch=4, **kw)
