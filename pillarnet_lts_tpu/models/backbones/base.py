@@ -548,6 +548,69 @@ def conv_bn_act_s2d(conv: "MaskedConv", bn: MaskedBatchNorm, x, masks,
     return nn.relu(y) if act else y
 
 
+_LANES_PL = 128  # the Pallas s2d kernels accept exactly one lane width
+
+
+def pallas_s2d_gate(enabled, train, chunked, planes):
+    """Route the stride-1 s2d stage through the FUSED Pallas stage kernel
+    (`ops/pallas/s2d_conv_kernel.py::s2d_stage_int8`)?
+
+    Engages only on the int8 eval path (the kernel core is int8 — the
+    per-conv calibration check lives in the blocks' `s2d_fused_convs`),
+    untiled (the W-chunked layout carries halo columns and no W padding,
+    which the kernel does not model), at full 128-lane width (4*planes ==
+    128, the only shape the s2d recast exists for). Per-conv Pallas was
+    measured-and-rejected (round 5: the stage is HBM-bound; XLA 6.2 vs
+    per-conv Pallas 9.2 ms/frame at the serving shape) — only the fused
+    whole-stage form, one HBM read + one write for all convs, wins."""
+    return (
+        enabled and not train and not chunked and 4 * planes == _LANES_PL
+    )
+
+
+def _fused_conv_params(*pairs):
+    """(w_aligned, inv_s, dq, sh) per (conv, bn) pair for the fused Pallas
+    stage kernel — the same int8 quantities `conv_bn_act_s2d`'s quant
+    branch computes — or None unless every conv is calibrated."""
+    out = []
+    for conv, bn in pairs:
+        if not conv.quant_ready():
+            return None
+        inv, shift = bn.fold_factors()
+        if conv.use_bias:
+            shift = conv.bias * inv + shift
+        s_x = conv.in_scale()
+        s_w = conv.weight_scale()
+        out.append((
+            expand_kernel_s2d_aligned(conv.kernel_int8(s_w)),
+            1.0 / s_x,
+            _tile4(s_x * s_w * inv),
+            _tile4(shift),
+        ))
+    return out
+
+
+def s2d_fused_stage(x, conv_params, maskc):
+    """Run the whole stride-1 s2d stage on the fused Pallas kernel.
+
+    conv_params: concatenated `s2d_fused_convs()` of the stage's blocks
+    (BlockV then Blocks — n odd). maskc: the stage-materialized
+    channel-expanded {0,1} re-zero mask the eval path already builds."""
+    from ...ops.pallas.s2d_conv_kernel import s2d_stage_int8
+
+    w_stack = jnp.stack([p[0] for p in conv_params])
+    p_stack = jnp.stack(
+        [
+            jnp.stack([dq, sh, jnp.full((_LANES_PL,), inv_s, jnp.float32)])
+            for _, inv_s, dq, sh in conv_params
+        ]
+    )
+    return s2d_stage_int8(
+        x, w_stack, p_stack, maskc,
+        interpret=jax.default_backend() == "cpu",
+    )
+
+
 def dilate_mask(mask, stride: int = 2):
     """spconv SparseConv2d(k=3, stride, pad=1) output-site rule: a stride-s
     3x3 max-pool with SAME-style padding 1 over the occupancy."""
@@ -730,6 +793,13 @@ class Sparse2DBasicBlock(nn.Module):
         self.conv2 = MaskedConv(self.planes, self.planes, **ckw)
         self.bn2 = MaskedBatchNorm(self.planes, **kw)
 
+    def s2d_fused_convs(self):
+        """Per-conv params for the fused Pallas stage kernel, execution
+        order, or None unless every conv is int8-calibrated (see
+        base.py::s2d_fused_stage)."""
+        return _fused_conv_params((self.conv1, self.bn1),
+                                  (self.conv2, self.bn2))
+
     def __call__(self, x, mask, train: bool = True, chunked: bool = False):
         if isinstance(mask, dict) and "negc2" in mask:
             run = conv_bn_act_hpk  # H-packed eval layout (structural key)
@@ -777,6 +847,16 @@ class Sparse2DBasicBlockV(nn.Module):
         self.bn1 = MaskedBatchNorm(self.planes, **kw)
         self.conv2 = MaskedConv(self.planes, self.planes, **ckw)
         self.bn2 = MaskedBatchNorm(self.planes, **kw)
+
+    def s2d_fused_convs(self):
+        """Per-conv params for the fused Pallas stage kernel, execution
+        order, or None unless every conv is int8-calibrated at the
+        kernel's square 128-lane shape (see base.py::s2d_fused_stage)."""
+        if self.in_planes is not None and self.in_planes != self.planes:
+            return None  # conv0's INPUT must also be 128 lanes
+        return _fused_conv_params((self.conv0, self.bn0),
+                                  (self.conv1, self.bn1),
+                                  (self.conv2, self.bn2))
 
     def __call__(self, x, mask, train: bool = True, chunked: bool = False):
         run = conv_bn_act_s2d if self.s2d else conv_bn_act

@@ -27,10 +27,12 @@ from ..registry import BACKBONES
 from .base import (
     DenseConvBNReLU,
     chunk_gate,
+    pallas_s2d_gate,
     remat_policy,
     Sparse2DBasicBlock,
     Sparse2DBasicBlockV,
     SparseDownStage,
+    s2d_fused_stage,
     s2d_pack,
     s2d_pack_mask,
     s2d_unpack,
@@ -93,6 +95,14 @@ class _PillarResNetBase(nn.Module):
     # comment and runtime/quantize.py). Checkpoints are unchanged — the
     # calibrated activation scales live in a separate 'quant' collection.
     quant: bool = False
+    # int8 eval of the UNTILED stride-1 stage as ONE fused Pallas kernel
+    # (ops/pallas/s2d_conv_kernel.py::s2d_stage_int8): all 5/7 SubM convs
+    # band-resident in VMEM — one HBM read + one write for the whole stage
+    # — on phase-aligned int8 taps (16/9 of the fine conv's MXU FLOPs
+    # instead of the s2d expansion's structural 4x). Engages only where
+    # pallas_s2d_gate allows (int8 eval, untiled, 128 lanes, all convs
+    # calibrated) — everywhere else this flag is inert.
+    s2d_pallas: bool = False
 
     @property
     def backbone_channels(self):
@@ -178,15 +188,34 @@ class _PillarResNetBase(nn.Module):
             Down = nn.remat(SparseDownStage, static_argnums=(3,),
                             policy=pol)
 
-        x = BlockV(
-            c, dtype=self.dtype, s2d=use_s2d, quant=self.quant,
-            name="conv1_block0",
-        )(x, occ4, train, use_chunk)
-        for i in range(1, self.conv1_blocks):
-            x = Block(
+        blocks = [
+            BlockV(
+                c, dtype=self.dtype, s2d=use_s2d, quant=self.quant,
+                name="conv1_block0",
+            )
+        ] + [
+            Block(
                 c, dtype=self.dtype, s2d=use_s2d, quant=self.quant,
                 name=f"conv1_block{i}",
-            )(x, occ4, train, use_chunk)
+            )
+            for i in range(1, self.conv1_blocks)
+        ]
+        fused = None
+        if use_s2d and pallas_s2d_gate(self.s2d_pallas, train, use_chunk, c):
+            # fused Pallas stage (int8 eval, untiled): every conv of every
+            # block must be calibrated, else fall back to the XLA path
+            fused = []
+            for blk in blocks:
+                p = blk.s2d_fused_convs()
+                if p is None:
+                    fused = None
+                    break
+                fused.extend(p)
+        if fused is not None:
+            x = s2d_fused_stage(x, fused, occ4["maskc"])
+        else:
+            for blk in blocks:
+                x = blk(x, occ4, train, use_chunk)
         if use_chunk:
             x = w_unchunk(x, self.chunk_nc)
         # fine-layout stage-1 output for consumers of the dict entry; dead

@@ -227,3 +227,219 @@ def s2d_subm_conv_int8(x, w_aligned, inv_s, dq, sh, mask4, *, act,
         interpret=interpret,
     )(*args)
     return out[:, :Hc] if HcP != Hc else out
+
+
+# ---------------------------------------------------------------------------
+# Fused-stage kernel: the WHOLE stride-1 stage in one pallas_call.
+#
+# The single-conv kernel above is a measured rejection (round 5,
+# tools/bench_r5_s2dconv_probe.py, serving shape (8, 720, 720, 128) int8):
+# XLA runs the 7-conv stage at 6.2 ms/frame vs 9.2 for per-conv Pallas —
+# the stage is HBM-BANDWIDTH-bound, and per-conv execution pays a full
+# activation round trip (plus the halo pad copy) per conv, which swamps
+# the aligned form's 16/9-vs-4x FLOP saving. Fusing the stage removes the
+# bandwidth term: ONE band read + ONE band write for all n convs, with
+# every intermediate activation living in VMEM.
+#
+# Stage structure (reference `det3d/models/backbones/base.py:145-213`,
+# PillarResNet stage 1): BlockV = conv0 (no act) + residual pair, then
+# (nblocks - 1) residual pairs — n = 3 + 2 * (nblocks - 1) convs, n odd.
+# Execution per grid step (one output H-band of tile_h rows):
+#
+#   DMA x band + maskc band (R = tile_h + 2n rows: 1 halo row per conv
+#   per side) HBM -> VMEM, double-buffered. Then for conv i the valid
+#   output rows are [i+1, R-i-1) — each conv consumes one halo row per
+#   side, so after n convs exactly the tile_h output rows remain. Buffers:
+#   A = running identity, B = mid output;
+#     conv0:        x -> A            (act=False, re-zero)
+#     mid  (odd i): A -> B            (relu, re-zero)
+#     tail (even i): B (+A residual) -> A, or the output window when last
+#                                      (relu(out + id), re-zero)
+#   Each conv quantizes its input in-register with its own calibrated
+#   scale and runs the four aligned int8 taps on the MXU exactly like the
+#   single-conv kernel.
+#
+# Re-zero uses the stage-materialized channel-expanded mask (`maskc` in
+# the backbone's eval mask dict) as a {0, 1} multiplier: zero halo rows
+# make image-edge SAME padding exact through the whole chain (a conv
+# output at a padded site is `shift`, which the mask zeroes before the
+# next conv consumes it — the same invariant the XLA path maintains).
+#
+# Numerics: bit-exact to the XLA eval/quant composite in interpret mode
+# (tests); on hardware the f32 dequant epilogue may contract to FMA,
+# giving ~1 bf16-ulp differences per conv (observed 0.0078 max on the
+# single-conv probe) — far below int8 quantization noise.
+# ---------------------------------------------------------------------------
+
+
+def _stage_kernel(x_hbm, m_hbm, w_ref, p_ref, out_ref, xs, ms, buf_a,
+                  buf_b, sem, *, tile_h, n_h, w_out, n_convs):
+    R = tile_h + 2 * n_convs
+    pid = pl.program_id(0)
+
+    def dma(slot, step):
+        b = step // n_h
+        h0 = (step % n_h) * tile_h
+        return (
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(h0, R)], xs.at[slot], sem.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                m_hbm.at[b, pl.ds(h0, R)], ms.at[slot], sem.at[slot, 1]
+            ),
+        )
+
+    @pl.when(pid == 0)
+    def _():
+        for c in dma(0, 0):
+            c.start()
+        # the inter-conv buffers' W borders (cols 0 and w_out + 1) are read
+        # by every tap build but written by no conv — zero them once
+        # (scratch persists across grid steps; data cols are fully
+        # overwritten before every read)
+        zero = jnp.zeros((R, 1, _LANES), buf_a.dtype)
+        buf_a[:, 0:1] = zero
+        buf_a[:, w_out + 1 : w_out + 2] = zero
+        buf_b[:, 0:1] = zero
+        buf_b[:, w_out + 1 : w_out + 2] = zero
+
+    @pl.when(pid + 1 < pl.num_programs(0))
+    def _():
+        for c in dma((pid + 1) % 2, pid + 1):
+            c.start()
+
+    for c in dma(pid % 2, pid):
+        c.wait()
+    slot = pid % 2
+
+    def conv(i, src, dst_rows):
+        """Aligned int8 conv i: src rows [i, R - i) -> (m, w_out, 128) with
+        the fused dequant epilogue; dst_rows = R - 2 * (i + 1)."""
+        inv_s = p_ref[i, 2, 0]
+        q = jnp.clip(
+            jnp.round(src[i : R - i].astype(jnp.float32) * inv_s),
+            -127.0, 127.0,
+        ).astype(jnp.int8)
+        m = dst_rows
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (m + 1, w_out + 1, _LANES), 2
+        )
+        blk = lane // (_LANES // 4)
+        v00 = q[1:, 1 : w_out + 2]
+        v01 = q[1:, 0 : w_out + 1]
+        v10 = q[: m + 1, 1 : w_out + 2]
+        v11 = q[: m + 1, 0 : w_out + 1]
+        a = jnp.where(
+            blk == 0, v00,
+            jnp.where(blk == 1, v01, jnp.where(blk == 2, v10, v11)),
+        )
+        acc = None
+        for s in (0, 1):
+            for t in (0, 1):
+                d = jax.lax.dot_general(
+                    a[s : s + m, t : t + w_out],
+                    w_ref[i, s, t],
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                acc = d if acc is None else acc + d
+        return (
+            acc.astype(jnp.float32) * p_ref[i, 0][None, None, :]
+            + p_ref[i, 1][None, None, :]
+        ).astype(buf_a.dtype)
+
+    def mband(i):
+        # mask rows matching conv i's output rows, {0,1} bf16
+        return ms[slot][i + 1 : R - i - 1, 1 : w_out + 1]
+
+    # conv0: x -> A (no act, multiplicative re-zero)
+    y = conv(0, xs[slot], R - 2) * mband(0)
+    buf_a[1 : R - 1, 1 : w_out + 1] = y
+
+    n_blocks = (n_convs - 1) // 2
+    for b in range(n_blocks):
+        i_mid, i_tail = 1 + 2 * b, 2 + 2 * b
+        y = jnp.maximum(conv(i_mid, buf_a, R - 2 * (i_mid + 1)), 0)
+        buf_b[i_mid + 1 : R - i_mid - 1, 1 : w_out + 1] = y * mband(i_mid)
+        y = conv(i_tail, buf_b, R - 2 * (i_tail + 1))
+        res = buf_a[i_tail + 1 : R - i_tail - 1, 1 : w_out + 1]
+        y = jnp.maximum(y + res, 0) * mband(i_tail)
+        if i_tail == n_convs - 1:
+            out_ref[0] = y
+        else:
+            buf_a[i_tail + 1 : R - i_tail - 1, 1 : w_out + 1] = y
+
+
+def s2d_stage_int8(x, w_stack, p_stack, maskc, *, tile_h=16,
+                   interpret=False):
+    """Whole stride-1 s2d stage (BlockV + residual blocks), int8 fused.
+
+    x:       (B, Hc, Wc, 128) bf16/f32 s2d activations (phase-major).
+    w_stack: (n, 2, 2, 128, 128) int8 — per-conv `expand_kernel_s2d_aligned`
+             kernels in execution order (n odd: conv0 + residual pairs).
+    p_stack: (n, 3, 128) f32 — rows (dq, sh, inv_s-splat) per conv: the
+             `_tile4`'d per-out-channel dequant / BN-shift vectors and the
+             lane-splat 1 / activation scale.
+    maskc:   (B, Hc, Wc, 128) {0,1} re-zero mask (the backbone's stage-
+             materialized `maskc`, cast to x.dtype).
+
+    Returns (B, Hc, Wc, 128) x.dtype: the stage output, equal to chaining
+    the XLA `conv_bn_act_s2d` eval/quant path through the block structure
+    (bit-exact in interpret mode; ~1 bf16 ulp/conv on hardware — FMA).
+    """
+    B, Hc, Wc, C = x.shape
+    n = w_stack.shape[0]
+    assert C == _LANES, f"s2d stage kernel expects 4C == {_LANES}, got {C}"
+    assert n % 2 == 1 and n >= 3, f"n_convs must be odd >= 3, got {n}"
+    assert w_stack.shape == (n, 2, 2, _LANES, _LANES)
+    assert p_stack.shape == (n, 3, _LANES)
+    n_h = -(-Hc // tile_h)
+    HcP = n_h * tile_h
+    R = tile_h + 2 * n
+    WP = -(-(Wc + 2) // 8) * 8
+
+    pad_h = (n, n + HcP - Hc)
+    pad_w = (1, WP - Wc - 1)
+    xpad = jnp.pad(x, ((0, 0), pad_h, pad_w, (0, 0)))
+    mpad = jnp.pad(
+        maskc.astype(x.dtype), ((0, 0), pad_h, pad_w, (0, 0))
+    )
+
+    grid = (B * n_h,)
+    kern = partial(
+        _stage_kernel, tile_h=tile_h, n_h=n_h, w_out=Wc, n_convs=n,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((B, HcP, Wc, _LANES), x.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (n, 2, 2, _LANES, _LANES), lambda i: (0, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (n, 3, _LANES), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, Wc, _LANES),
+            lambda i: (i // n_h, i % n_h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, WP, _LANES), x.dtype),   # x bands
+            pltpu.VMEM((2, R, WP, _LANES), x.dtype),   # mask bands
+            pltpu.VMEM((R, WP, _LANES), x.dtype),      # A (identity)
+            pltpu.VMEM((R, WP, _LANES), x.dtype),      # B (mid)
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xpad, mpad, w_stack, p_stack)
+    return out[:, :Hc] if HcP != Hc else out

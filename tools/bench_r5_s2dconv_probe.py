@@ -33,6 +33,12 @@ B, HC, WC, C = 8, 720, 720, 32
 def main():
     import jax
 
+    # honor JAX_PLATFORMS=cpu for the logic smoke (sitecustomize
+    # force-registers the TPU plugin and overrides the env var)
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want:
+        jax.config.update("jax_platforms", want)
+
     cpu = jax.default_backend() == "cpu"  # logic smoke (tiny, interpreted)
     global B, HC, WC
     if cpu:
@@ -138,13 +144,39 @@ def main():
 
         return stage
 
-    variants = [("xla", jax.jit(stage_xla))]
-    # th=64 measured OOM at the serving shape: Mosaic register-allocator
-    # spill slots alone need 96M VMEM (8/20 log). Sweep stays <= 32.
-    for th in (8, 16, 32):
-        variants.append(
-            (f"pallas_th{th}", jax.jit(make_pallas_stage(th)))
+    from pillarnet_lts_tpu.ops.pallas.s2d_conv_kernel import s2d_stage_int8
+
+    def make_fused_stage(tile_h):
+        w_stack = jnp.stack(
+            [expand_kernel_s2d_aligned(kq) for kq, _, _, _ in convs]
         )
+        p_stack = jnp.stack(
+            [
+                jnp.stack(
+                    [dq, sh, jnp.full((128,), 1.0 / s_x, jnp.float32)]
+                )
+                for _, s_x, dq, sh in convs
+            ]
+        )
+        maskc = jnp.repeat(mask4, C, axis=-1).astype(jnp.bfloat16)
+
+        def stage(x):
+            return s2d_stage_int8(
+                x, w_stack, p_stack, maskc, tile_h=tile_h, interpret=cpu
+            )
+
+        return stage
+
+    # variant names on argv override the default sweep. th=64 (single-conv)
+    # measured OOM at the serving shape: Mosaic register-allocator spill
+    # slots alone need 96M VMEM (8/20 log), so sweeps stay <= 32.
+    fns = {"xla": stage_xla}
+    for th in (8, 16, 32):
+        fns[f"pallas_th{th}"] = make_pallas_stage(th)
+        fns[f"fused_th{th}"] = make_fused_stage(th)
+    names = sys.argv[1:] or ["xla", "pallas_th8", "pallas_th16",
+                             "pallas_th32"]
+    variants = [(n, jax.jit(fns[n])) for n in names]
 
     outs = {}
     for name, fn in variants:
@@ -165,6 +197,8 @@ def main():
     if not ok:
         print("[equality] MISMATCH — timings below are not comparable",
               flush=True)
+    if cpu:
+        return  # logic smoke only: interpret-mode timings are meaningless
 
     tiny = jax.jit(lambda a: (a + 1).sum())
     z = jnp.ones((8, 128))
