@@ -158,9 +158,11 @@ def main():
                 for _, s_x, dq, sh in convs
             ]
         )
-        maskc = jnp.repeat(mask4, C, axis=-1).astype(jnp.bfloat16)
-
         def stage(x):
+            # maskc is built IN-graph: as a closed-over jit constant the
+            # (B, Hc, Wc, 128) bf16 array serializes into the compile
+            # payload (950 MB at the serving shape -> remote HTTP 413)
+            maskc = jnp.repeat(mask4, C, axis=-1).astype(jnp.bfloat16)
             return s2d_stage_int8(
                 x, w_stack, p_stack, maskc, tile_h=tile_h, interpret=cpu
             )
