@@ -559,10 +559,18 @@ def pallas_s2d_gate(enabled, train, chunked, planes):
     per-conv calibration check lives in the blocks' `s2d_fused_convs`),
     untiled (the W-chunked layout carries halo columns and no W padding,
     which the kernel does not model), at full 128-lane width (4*planes ==
-    128, the only shape the s2d recast exists for). Per-conv Pallas was
-    measured-and-rejected (round 5: the stage is HBM-bound; XLA 6.2 vs
-    per-conv Pallas 9.2 ms/frame at the serving shape) — only the fused
-    whole-stage form, one HBM read + one write for all convs, wins."""
+    128, the only shape the s2d recast exists for). BOTH Pallas forms are
+    measured rejections at the serving shape (round 5,
+    tools/bench_r5_s2dconv_probe.py, (8, 720, 720, 128) int8, 3 rounds
+    vs per-round floors): XLA 6.2 ms/frame vs per-conv Pallas 9.2 vs
+    fused whole-stage 8.5 (th=32) / 9.4 (th=16). The fused form removes
+    the inter-conv HBM round trips and runs 16/9x fine FLOPs (vs XLA's
+    4x padded) yet still loses ~2.3 ms/frame — the in-VMEM tax (per-conv
+    f32 quantize over full bands, 4-view align selects, mask multiplies,
+    and the mask-band DMA doubling input bytes) exceeds what the
+    bandwidth+FLOP savings buy. Default stays OFF (`s2d_pallas=False`);
+    the kernel remains in-tree and bit-tested as the layout for future
+    hardware/compiler generations, like the compact-sparse path."""
     return (
         enabled and not train and not chunked and 4 * planes == _LANES_PL
     )

@@ -241,6 +241,18 @@ def s2d_subm_conv_int8(x, w_aligned, inv_s, dq, sh, mask4, *, act,
 # bandwidth term: ONE band read + ONE band write for all n convs, with
 # every intermediate activation living in VMEM.
 #
+# MEASURED VERDICT (round 5, same probe, same shape, 3 interleaved
+# rounds vs per-round floors): the fused form is ALSO a rejection —
+# XLA 6.2 ms/frame vs fused 8.5 (tile_h=32) / 9.4 (tile_h=16), output
+# within 1 bf16 ulp (0.0078 — the documented FMA contraction). Removing
+# the inter-conv HBM traffic and 55% of the MACs was not enough: the
+# in-VMEM work XLA does not pay (per-conv f32 round/clip quantize over
+# full bands, the 4-view align selects, per-conv mask multiplies) plus
+# the mask-band DMA (which doubles input bytes vs x alone) costs more
+# than the saving. Kept in-tree, bit-tested, default-off
+# (`backbone.s2d_pallas=False`) as documentation of the aligned-form
+# design space for future hardware/compiler generations.
+#
 # Stage structure (reference `det3d/models/backbones/base.py:145-213`,
 # PillarResNet stage 1): BlockV = conv0 (no act) + residual pair, then
 # (nblocks - 1) residual pairs — n = 3 + 2 * (nblocks - 1) convs, n odd.
