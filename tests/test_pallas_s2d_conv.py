@@ -238,3 +238,33 @@ def test_aligned_expansion_matches_s2d_expansion_sums():
         preferred_element_type=jnp.int32,
     )
     assert np.array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_backbone_s2d_pallas_falls_back_without_calibration():
+    """`s2d_pallas=True` with NO quant collection (uncalibrated model)
+    must silently take the XLA path (pallas_s2d_gate passes but
+    `s2d_fused_convs` returns None per conv), producing exactly the
+    plain backbone's output — the flag is safe to set in a config before
+    calibration has run."""
+    from pillarnet_lts_tpu.models.backbones.pillar_resnet import (
+        PillarResNet18S,
+    )
+
+    rng = np.random.RandomState(3)
+    H = W = 32
+    mask = jnp.asarray(rng.rand(1, H, W) < 0.15)
+    grid = jnp.asarray(
+        rng.randn(1, H, W, 32).astype(np.float32)
+    ) * mask[..., None]
+
+    bb = PillarResNet18S(in_channels=32, quant=True)
+    v = bb.init(jax.random.PRNGKey(0), grid, mask, train=False)
+    base = {k: v2 for k, v2 in v.items() if k != "quant"}
+    ref = bb.apply(base, grid, mask, train=False)
+    bb_pl = PillarResNet18S(in_channels=32, quant=True, s2d_pallas=True)
+    got = bb_pl.apply(base, grid, mask, train=False)
+    for name in ref:
+        assert np.array_equal(
+            np.asarray(ref[name][0], np.float32),
+            np.asarray(got[name][0], np.float32),
+        ), name
