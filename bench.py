@@ -522,6 +522,15 @@ def main():
         record["vs_baseline_serial_protocol"] = record["vs_baseline"]
         record["serial_protocol_pays_relay_ms_per_frame"] = record[
             "dispatch_floor_ms"]
+        # serial numbers from different sub-runs are NOT mutually
+        # comparable on this relay (floor drifts ~24-41 ms day to day):
+        # e.g. BENCH_r04's rcnn int8-serial < bf16-serial was relay
+        # drift, not dequant cost (same-session probe: int8 15 ms faster
+        # on-chip; docs/ROADMAP.md round-5 two-stage budget)
+        record["serial_note"] = (
+            "serial fields pay the relay floor of their own sub-run; "
+            "cross-mode deltas are only valid via same-session probes"
+        )
         # multi-chip serving projection: the serving graph has no
         # cross-chip collectives (every frame independent), dp-sharded
         # serving is dryrun-validated every round (`__graft_entry__`
